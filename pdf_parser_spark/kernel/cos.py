@@ -1,0 +1,683 @@
+"""COS (Carousel Object System) lexer + parser.
+
+Reimplements the reference's token grammar and recursive-descent object
+parser with identical token/byte-offset semantics:
+
+- Token model:         ref src/lexer.rs:12-60 (every token carries its
+                       absolute byte offset)
+- Lexer state machine: ref src/lexer.rs:215-688
+- String unescape:     ref src/lexer.rs:99-173 (deviation: ``\\t`` decodes
+                       to 0x09 per PDF 32000-1 §7.3.4.2; the reference has
+                       a bug pushing 0x0B — src/lexer.rs:135. Flagged in
+                       SURVEY.md §2.7.1; no golden exercises it.)
+- Hex decode:          ref src/lexer.rs:177-212 (odd length pads a 0)
+- Parser:              ref src/parser.rs:49-278 (object tree with byte
+                       offsets; dict duplicate keys: last wins,
+                       src/parser.rs:246-254)
+
+Extension beyond the reference: ``content_mode=True`` reuses the same
+lexer over *content streams* (PDF 32000-1 §7.8.2) where bare keyword runs
+become ``Op`` tokens instead of errors, indirect-ref/obj/stream handling
+is disabled, and inline-image data (``BI..ID..EI``) is skipped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Union
+
+# ---------------------------------------------------------------- tokens
+
+# Token kinds (ref src/lexer.rs:41-60). EOL exists in the reference enum
+# but is never emitted (EOLs are skipped); kept out of the Python model.
+TK_BOOL = "bool"
+TK_INT = "int"
+TK_REAL = "real"
+TK_HEXSTR = "hexstr"
+TK_STR = "str"
+TK_NAME = "name"
+TK_DICT_START = "dict_start"
+TK_DICT_END = "dict_end"
+TK_ARR_START = "arr_start"
+TK_ARR_END = "arr_end"
+TK_NULL = "null"
+TK_IND_REF = "ind_ref"            # value = (obj_num, gen_num)
+TK_IND_OBJ_START = "ind_obj_start"  # value = (obj_num, gen_num)
+TK_IND_OBJ_END = "ind_obj_end"
+TK_STREAM_START = "stream_start"  # value = absolute offset of stream data
+TK_OP = "op"                      # content-stream operator [EXTENSION]
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str
+    value: object
+    offset: int  # absolute byte offset (ref src/lexer.rs:13)
+
+
+class LexerError(ValueError):
+    def __init__(self, kind: str, offset: int):
+        super().__init__(f"lexer error `{kind}` at byte {offset}")
+        self.kind = kind
+        self.offset = offset
+
+
+class ParserError(ValueError):
+    def __init__(self, kind: str, offset: int):
+        super().__init__(f"parser error `{kind}` at byte {offset}")
+        self.kind = kind
+        self.offset = offset
+
+
+# ------------------------------------------------------- scalar decoders
+
+def parse_name(buf: bytes) -> str:
+    """ASCII-only name body (ref src/lexer.rs:89-96). ``#xx`` escapes are
+    not interpreted, matching the reference (SURVEY.md §2.7.8)."""
+    if not buf.isascii():
+        raise ValueError("non-ascii name")
+    return buf.decode("ascii")
+
+
+def parse_string(buf: bytes) -> bytes:
+    """Interpret literal-string escapes (ref src/lexer.rs:99-173).
+
+    ``\\n \\r \\t \\b \\f \\( \\) \\\\`` plus 1-3 digit octal (mod 256);
+    a backslash before any other byte is dropped and the byte kept.
+    Deviation from the reference: ``\\t`` -> 0x09 (spec-correct), not the
+    reference's 0x0B (src/lexer.rs:135, SURVEY.md §2.7.1).
+    """
+    out = bytearray()
+    i = 0
+    n = len(buf)
+    escape_map = {
+        0x6E: 0x0A,  # n -> LF
+        0x72: 0x0D,  # r -> CR
+        0x74: 0x09,  # t -> TAB (spec-correct; reference bug pushes 0x0B)
+        0x62: 0x08,  # b -> BS
+        0x66: 0x0C,  # f -> FF
+        0x28: 0x28,  # ( -> (
+        0x29: 0x29,  # ) -> )
+        0x5C: 0x5C,  # \ -> backslash
+    }
+    while i < n:
+        b = buf[i]
+        if b == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break  # trailing backslash: dropped (ref loop just ends)
+            b2 = buf[i]
+            if 0x30 <= b2 <= 0x37:  # octal, 1-3 digits
+                val = b2 - 0x30
+                i += 1
+                for _ in range(2):
+                    if i < n and 0x30 <= buf[i] <= 0x37:
+                        val = val * 8 + (buf[i] - 0x30)
+                        i += 1
+                    else:
+                        break
+                out.append(val & 0xFF)  # ref: u16 big-endian low byte
+                continue
+            mapped = escape_map.get(b2)
+            out.append(mapped if mapped is not None else b2)
+            i += 1
+            continue
+        out.append(b)
+        i += 1
+    return bytes(out)
+
+
+def parse_hex_string(buf: bytes) -> bytes:
+    """Hex pairs -> bytes; odd length pads a trailing 0
+    (ref src/lexer.rs:177-212). Raises on non-hex bytes."""
+    s = buf.decode("ascii", errors="strict") if buf.isascii() else None
+    if s is None:
+        raise ValueError("non-ascii hex string")
+    for ch in s:
+        if ch not in "0123456789abcdefABCDEF":
+            raise ValueError("non-hex digit")
+    if len(s) % 2 == 1:
+        s += "0"
+    return bytes.fromhex(s)
+
+
+# ----------------------------------------------------------------- lexer
+
+_WHITESPACE = frozenset({0, 9, 12, 32})  # ref src/lexer.rs:398 (EOLs apart)
+_NUMBER_CHARS = frozenset(b"0123456789+-.")
+# Spec-correct regular chars: not whitespace {NUL TAB LF FF CR SP} and not
+# delimiter ()<>[]{}/%.  The reference excludes 0x12 instead of 0x0C
+# (src/lexer.rs:292-311, SURVEY.md §2.7.2); we implement the spec.
+_IRREGULAR = frozenset({0, 9, 10, 12, 13, 32}) | frozenset(b"()<>[]{}/%")
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+
+
+class Lexer:
+    """Single-pass COS tokenizer (ref src/lexer.rs:215-688).
+
+    ``tokenize()`` stops early at ``endobj`` or ``stream`` (object-bounded
+    input, ref src/lexer.rs:351-352). ``content_mode=True`` [EXTENSION]
+    lexes content streams: bare keywords become TK_OP tokens and
+    object-level constructs (R / obj / endobj / stream) are plain ops.
+    """
+
+    def __init__(self, buffer: bytes, start_offset: int = 0,
+                 content_mode: bool = False):
+        if len(buffer) == 0:
+            raise LexerError("EmptyBuffer", start_offset)
+        self.buffer = buffer
+        self.start_offset = start_offset
+        self.content_mode = content_mode
+        self.i = 0
+        self.token_head_i = 0
+        self.tokens: list[Token] = []
+        self.has_ind_obj_start = False
+        self.has_ind_obj_end = False
+
+    # -- cursor helpers (ref src/lexer.rs:246-286) ---------------------
+
+    def _confirm(self, kind: str, value: object = None) -> None:
+        self.tokens.append(
+            Token(kind, value, self.start_offset + self.token_head_i))
+        self.token_head_i = self.i
+
+    def _cancel(self) -> Token | None:
+        if self.tokens:
+            tok = self.tokens.pop()
+            self.token_head_i = tok.offset - self.start_offset
+            return tok
+        self.token_head_i = 0
+        return None
+
+    def _skip(self) -> None:
+        self.token_head_i = self.i
+
+    def _err(self, kind: str) -> LexerError:
+        return LexerError(kind, self.start_offset + self.token_head_i)
+
+    def _starts_with(self, kw: bytes) -> bool:
+        return self.buffer.startswith(kw, self.i)
+
+    def _expect_keyword_end(self, kw_len: int) -> None:
+        """After a keyword, the next byte must be absent or irregular
+        (ref src/lexer.rs:335-341)."""
+        j = self.i + kw_len
+        if j < len(self.buffer) and self.buffer[j] not in _IRREGULAR:
+            raise self._err("UndefinedKeyword")
+
+    def has_unbalanced_indirectobj(self) -> bool:
+        return self.has_ind_obj_start != self.has_ind_obj_end
+
+    # -- main loop (ref src/lexer.rs:353-688) ---------------------------
+
+    def tokenize(self) -> list[Token]:
+        buf = self.buffer
+        n = len(buf)
+        is_comment = False
+
+        while self.token_head_i < n and self.i < n:
+            b = buf[self.i]
+
+            # EOLs end comments and are skipped (ref :356-388)
+            if b == 0x0A:
+                self.i += 1
+                is_comment = False
+                self._skip()
+                continue
+            if b == 0x0D:
+                self.i += 2 if (self.i + 1 < n and buf[self.i + 1] == 0x0A) else 1
+                is_comment = False
+                self._skip()
+                continue
+            if is_comment:
+                self.i += 1
+                self._skip()
+                continue
+            if b in _WHITESPACE:
+                self.i += 1
+                self._skip()
+                continue
+            if b == 0x25:  # '%'
+                is_comment = True
+                self.i += 1
+                self._skip()
+                continue
+
+            # Integer / Real (ref :412-435)
+            if b in _NUMBER_CHARS:
+                while self.i < n and buf[self.i] in _NUMBER_CHARS:
+                    self.i += 1
+                s = buf[self.token_head_i:self.i].decode("ascii")
+                try:
+                    self._confirm(TK_INT, int(s))
+                    continue
+                except ValueError:
+                    pass
+                try:
+                    self._confirm(TK_REAL, float(s))
+                    continue
+                except ValueError:
+                    raise self._err("ParseNumber") from None
+
+            # Name (ref :437-452)
+            if b == 0x2F:  # '/'
+                self.i += 1
+                while self.i < n and buf[self.i] not in _IRREGULAR:
+                    self.i += 1
+                try:
+                    name = parse_name(buf[self.token_head_i + 1:self.i])
+                except ValueError:
+                    raise self._err("ParseName") from None
+                self._confirm(TK_NAME, name)
+                continue
+
+            # Hex string or dict start (ref :454-487)
+            if b == 0x3C:  # '<'
+                self.i += 1
+                if self.i >= n:
+                    raise self._err("FinishInObject")
+                if buf[self.i] == 0x3C:
+                    self.i += 1
+                    self._confirm(TK_DICT_START)
+                    continue
+                while self.i < n and buf[self.i] in _HEX_DIGITS:
+                    self.i += 1
+                if self.i >= n:
+                    raise self._err("FinishInObject")
+                if buf[self.i] != 0x3E:  # '>'
+                    raise self._err("UnexpectedByte")
+                try:
+                    val = parse_hex_string(buf[self.token_head_i + 1:self.i])
+                except ValueError:
+                    raise self._err("ParseHexString") from None
+                self.i += 1
+                self._confirm(TK_HEXSTR, val)
+                continue
+
+            # Dict end (ref :489-503)
+            if b == 0x3E:  # '>'
+                self.i += 1
+                if self.i >= n or buf[self.i] != 0x3E:
+                    raise self._err("FinishInObject")
+                self.i += 1
+                self._confirm(TK_DICT_END)
+                continue
+
+            # Literal string (ref :505-547)
+            if b == 0x28:  # '('
+                self.i += 1
+                prev_backslash = False
+                depth = 0
+                while True:
+                    if self.i >= n:
+                        raise self._err("FinishInObject")
+                    c = buf[self.i]
+                    if not prev_backslash and depth == 0 and c == 0x29:
+                        break
+                    if not prev_backslash and c == 0x28:
+                        depth += 1
+                    elif not prev_backslash and c == 0x29:
+                        depth -= 1
+                    prev_backslash = (not prev_backslash) and c == 0x5C
+                    self.i += 1
+                val = parse_string(buf[self.token_head_i + 1:self.i])
+                self.i += 1
+                self._confirm(TK_STR, val)
+                continue
+
+            # Arrays (ref :549-561)
+            if b == 0x5B:  # '['
+                self.i += 1
+                self._confirm(TK_ARR_START)
+                continue
+            if b == 0x5D:  # ']'
+                self.i += 1
+                self._confirm(TK_ARR_END)
+                continue
+
+            if not self.content_mode:
+                # Indirect reference: 'R' backtracks over the two previous
+                # integer tokens (ref :563-591, cancel_token :269-281)
+                if b == 0x52:  # 'R'
+                    gen_tok = self._cancel()
+                    obj_tok = self._cancel()
+                    if (gen_tok is not None and obj_tok is not None
+                            and gen_tok.kind == TK_INT and obj_tok.kind == TK_INT
+                            and obj_tok.value > 0 and gen_tok.value >= 0):
+                        self.i += 1
+                        self._confirm(TK_IND_REF, (obj_tok.value, gen_tok.value))
+                        continue
+                    raise self._err("InvalidIndirectRef")
+
+                # Indirect object start (ref :593-619)
+                if self._starts_with(b"obj"):
+                    gen_tok = self._cancel()
+                    obj_tok = self._cancel()
+                    if (gen_tok is not None and obj_tok is not None
+                            and gen_tok.kind == TK_INT and obj_tok.kind == TK_INT
+                            and obj_tok.value > 0 and gen_tok.value >= 0):
+                        self.i += 3
+                        self._confirm(TK_IND_OBJ_START,
+                                      (obj_tok.value, gen_tok.value))
+                        self.has_ind_obj_start = True
+                        continue
+                    # ref falls through with tokens lost and then errors
+                    # with UndefinedKeyword; we error directly.
+                    raise self._err("InvalidIndirectObj")
+
+                # endobj forces the lexer to stop (ref :621-628)
+                if self._starts_with(b"endobj"):
+                    self._expect_keyword_end(6)
+                    self.i += 6
+                    self._confirm(TK_IND_OBJ_END)
+                    self.has_ind_obj_end = True
+                    return self.tokens
+
+                # stream: record data offset and stop (ref :630-658).
+                # LF or CRLF required after the keyword (spec §3.2.7);
+                # bare CR rejected.
+                if self._starts_with(b"stream"):
+                    if n - (self.i + 5) < 3:
+                        raise self._err("ConfirmStream")
+                    j = self.i + 6
+                    if buf.startswith(b"\n", j):
+                        data_off = j + 1
+                    elif buf.startswith(b"\r\n", j):
+                        data_off = j + 2
+                    else:
+                        raise self._err("UnexpectedByte")
+                    # close the indirect object, then emit the stream
+                    # marker (ref :645-654)
+                    self._confirm(TK_IND_OBJ_END)
+                    self.has_ind_obj_end = True
+                    self.i = data_off
+                    self.tokens.append(Token(TK_STREAM_START,
+                                             self.start_offset + data_off,
+                                             self.start_offset + data_off))
+                    return self.tokens
+
+            # Keyword literals (ref :660-682)
+            if self._starts_with(b"null"):
+                self._expect_keyword_end(4)
+                self.i += 4
+                self._confirm(TK_NULL)
+                continue
+            if self._starts_with(b"true"):
+                self._expect_keyword_end(4)
+                self.i += 4
+                self._confirm(TK_BOOL, True)
+                continue
+            if self._starts_with(b"false"):
+                self._expect_keyword_end(5)
+                self.i += 5
+                self._confirm(TK_BOOL, False)
+                continue
+
+            if self.content_mode:
+                # [EXTENSION] content-stream operator: a run of regular
+                # chars (PDF 32000-1 §7.8.2). Includes 'R'-initial ops
+                # like RG, and obj-like runs.
+                start = self.i
+                while self.i < n and buf[self.i] not in _IRREGULAR:
+                    self.i += 1
+                if self.i == start:
+                    raise self._err("UndefinedKeyword")
+                op = buf[start:self.i].decode("latin-1")
+                if op == "ID":
+                    # inline image data follows until 'EI' delimiter;
+                    # skip it entirely (PDF 32000-1 §8.9.7)
+                    k = buf.find(b"EI", self.i)
+                    while k != -1:
+                        before_ws = k == 0 or buf[k - 1] in _IRREGULAR
+                        after_ws = (k + 2 >= n) or (buf[k + 2] in _IRREGULAR)
+                        if before_ws and after_ws:
+                            break
+                        k = buf.find(b"EI", k + 1)
+                    if k == -1:
+                        raise self._err("UnterminatedInlineImage")
+                    self.i = k + 2
+                    self._skip()
+                    continue
+                self._confirm(TK_OP, op)
+                continue
+
+            raise self._err("UndefinedKeyword")
+
+        return self.tokens
+
+
+def tokenize(buffer: bytes, start_offset: int = 0,
+             content_mode: bool = False) -> list[Token]:
+    return Lexer(buffer, start_offset, content_mode).tokenize()
+
+
+# ---------------------------------------------------------- object model
+
+@dataclass(frozen=True)
+class PdfBoolean:
+    value: bool
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class PdfInteger:
+    value: int
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class PdfReal:
+    value: float
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class PdfName:
+    value: str
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class PdfString:
+    value: bytes
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class PdfNull:
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class PdfIndirectRef:
+    obj_num: int
+    gen_num: int
+    offset: int = 0
+
+    def key(self) -> tuple[int, int]:
+        return (self.obj_num, self.gen_num)
+
+
+@dataclass(frozen=True)
+class PdfArray:
+    items: tuple
+    offset: int = 0
+
+    def __iter__(self):
+        return iter(self.items)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+@dataclass(frozen=True)
+class PdfDict:
+    entries: tuple  # tuple of (key, value) pairs, last-wins already applied
+    offset: int = 0
+
+    def as_dict(self) -> dict:
+        return dict(self.entries)
+
+    def get(self, key: str, default=None):
+        for k, v in self.entries:
+            if k == key:
+                return v
+        return default
+
+    def __contains__(self, key: str) -> bool:
+        return any(k == key for k, _ in self.entries)
+
+    def keys(self):
+        return [k for k, _ in self.entries]
+
+
+@dataclass(frozen=True)
+class PdfIndirectObj:
+    obj_num: int
+    gen_num: int
+    content: object
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class PdfStreamObj:
+    obj_num: int
+    gen_num: int
+    dict: PdfDict
+    data_offset: int  # absolute offset where stream data begins
+    offset: int = 0
+
+
+Object = Union[PdfBoolean, PdfInteger, PdfReal, PdfName, PdfString, PdfNull,
+               PdfIndirectRef, PdfArray, PdfDict, PdfIndirectObj, PdfStreamObj]
+
+
+def _dedup_dict_pairs(pairs: list) -> tuple:
+    """Duplicate keys: last wins (ref src/parser.rs:246-254, TODO at :251)."""
+    seen: dict[str, object] = {}
+    for k, v in pairs:
+        seen[k] = v
+    return tuple(seen.items())
+
+
+# ---------------------------------------------------------------- parser
+
+class Parser:
+    """Recursive-descent parser over a token list (ref src/parser.rs:49-278).
+
+    The constructor tokenizes eagerly and validates obj/endobj balance
+    (ref src/parser.rs:56-81).
+    """
+
+    def __init__(self, buffer: bytes, start_offset: int = 0):
+        if len(buffer) == 0:
+            raise ParserError("EmptyBuffer", start_offset)
+        lexer = Lexer(buffer, start_offset)
+        try:
+            self.tokens = lexer.tokenize()
+        except LexerError as e:
+            raise ParserError(f"Lexer({e.kind})", start_offset) from e
+        if lexer.has_unbalanced_indirectobj():
+            raise ParserError("IndirectObjMissMatch", start_offset)
+        self.start_offset = start_offset
+        self.token_i = 0
+
+    def _next(self) -> Token | None:
+        i = self.token_i
+        self.token_i += 1
+        return self.tokens[i] if i < len(self.tokens) else None
+
+    def _peek(self) -> Token | None:
+        return (self.tokens[self.token_i]
+                if self.token_i < len(self.tokens) else None)
+
+    def parse(self) -> Object:
+        return self.parse_object()
+
+    def parse_object(self) -> Object:  # ref src/parser.rs:106-196
+        tok = self._next()
+        if tok is None:
+            raise ParserError("NoToken", self.start_offset)
+        off = tok.offset
+        k = tok.kind
+        if k == TK_BOOL:
+            return PdfBoolean(tok.value, off)
+        if k == TK_INT:
+            return PdfInteger(tok.value, off)
+        if k == TK_REAL:
+            return PdfReal(tok.value, off)
+        if k == TK_NAME:
+            return PdfName(tok.value, off)
+        if k == TK_NULL:
+            return PdfNull(off)
+        if k in (TK_HEXSTR, TK_STR):
+            return PdfString(tok.value, off)
+        if k == TK_IND_REF:
+            return PdfIndirectRef(tok.value[0], tok.value[1], off)
+        if k == TK_ARR_START:
+            return PdfArray(tuple(self._parse_array_content()), off)
+        if k == TK_DICT_START:
+            return PdfDict(_dedup_dict_pairs(self._parse_dict_content()), off)
+        if k == TK_IND_OBJ_START:
+            obj_num, gen_num = tok.value
+            inner = self._parse_indirect_content()
+            nxt = self._next()
+            if nxt is not None and nxt.kind == TK_STREAM_START:
+                if not isinstance(inner, PdfDict):
+                    raise ParserError("InvalidStreamObj", self.start_offset)
+                return PdfStreamObj(obj_num, gen_num, inner, nxt.value, off)
+            # _next() consumed one past; step back (the reference peeks by
+            # pattern-matching self.next() and simply returns — the extra
+            # token, when not a stream marker, is past endobj and the
+            # reference stops there anyway)
+            if nxt is not None:
+                self.token_i -= 1
+            return PdfIndirectObj(obj_num, gen_num, inner, off)
+        raise ParserError("UnexpectedToken", off)
+
+    def _parse_array_content(self) -> list:  # ref src/parser.rs:198-223
+        items = []
+        while True:
+            tok = self._peek()
+            if tok is None:
+                raise ParserError("NoToken", self.start_offset)
+            if tok.kind == TK_ARR_END:
+                self._next()
+                return items
+            items.append(self.parse_object())
+
+    def _parse_dict_content(self) -> list:  # ref src/parser.rs:225-262
+        pairs = []
+        while True:
+            tok = self._peek()
+            if tok is None:
+                raise ParserError("NoToken", self.start_offset)
+            if tok.kind == TK_DICT_END:
+                self._next()
+                return pairs
+            if tok.kind == TK_NAME:
+                self._next()
+                pairs.append((tok.value, self.parse_object()))
+                continue
+            raise ParserError("UnexpectedToken", tok.offset)
+
+    def _parse_indirect_content(self) -> Object:  # ref src/parser.rs:264-277
+        obj = self.parse_object()
+        tok = self._next()
+        if tok is None:
+            raise ParserError("NoToken", self.start_offset)
+        if tok.kind != TK_IND_OBJ_END:
+            raise ParserError("UnexpectedToken", tok.offset)
+        return obj
+
+
+def parse_object_at(buffer: bytes, offset: int) -> Object:
+    """Parse one object starting at ``offset`` of the whole-document
+    buffer. The lexer stops at ``endobj``/``stream`` so this is O(object),
+    not O(document) — replaces the reference's adaptive 200-byte buffer
+    growth (src/object.rs:331-374), unnecessary with the document in
+    memory (SURVEY.md §2.2 J3)."""
+    return Parser(buffer[offset:], offset).parse()
