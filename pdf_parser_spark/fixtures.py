@@ -1,0 +1,478 @@
+"""Deterministic whole-PDF fixture factory (FIXTURES.md §5).
+
+Hand-assembled, spec-valid PDF byte buffers with known golden
+extractions — no external data, no pdf libs, no randomness. Each fixture
+function returns ``(pdf_bytes, golden)`` where golden is a dict with the
+expected ``text``, ``n_pages`` and ``n_spans``. The corpus doubles as a
+spec test of the writer side of the grammar.
+
+These are the turn payloads for the synthetic transcript ``turns`` table:
+``fixture_for(conv_id, turn_idx)`` picks deterministically.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def lit(s: str) -> bytes:
+    """Encode a literal string body, escaping \\ ( )."""
+    out = s.encode("latin-1")
+    out = out.replace(b"\\", b"\\\\").replace(b"(", b"\\(")
+    out = out.replace(b")", b"\\)")
+    return b"(" + out + b")"
+
+
+class PdfBuilder:
+    """Assemble a classic-xref PDF from numbered objects."""
+
+    def __init__(self, version: bytes = b"1.4"):
+        self.version = version
+        self.objects: dict[int, bytes] = {}
+
+    def add(self, num: int, body: bytes) -> int:
+        self.objects[num] = body
+        return num
+
+    def add_stream(self, num: int, dict_extra: bytes, data: bytes,
+                   length_ref: int | None = None) -> int:
+        """Stream object; /Length direct unless ``length_ref`` names an
+        object number to hold it indirectly (ref src/object.rs:545-566)."""
+        if length_ref is None:
+            d = b"<<" + dict_extra + b" /Length " + str(len(data)).encode() + b">>"
+        else:
+            d = (b"<<" + dict_extra + b" /Length " + str(length_ref).encode()
+                 + b" 0 R>>")
+            self.add(length_ref, str(len(data)).encode())
+        self.objects[num] = d + b"\nstream\n" + data + b"\nendstream"
+        return num
+
+    def build(self, root: int = 1) -> bytes:
+        out = bytearray(b"%PDF-" + self.version + b"\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(self.objects):
+            offsets[num] = len(out)
+            out += (str(num).encode() + b" 0 obj\n" + self.objects[num]
+                    + b"\nendobj\n")
+        xref_off = len(out)
+        max_num = max(self.objects)
+        out += b"xref\n0 " + str(max_num + 1).encode() + b"\n"
+        out += b"0000000000 65535 f \n"
+        for num in range(1, max_num + 1):
+            if num in offsets:
+                out += b"%010d 00000 n \n" % offsets[num]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (b"trailer\n<</Size " + str(max_num + 1).encode()
+                + b" /Root " + str(root).encode() + b" 0 R>>\n"
+                + b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n")
+        return bytes(out)
+
+    def build_with_xref_stream(self, root: int = 1,
+                               predictor: bool = True) -> bytes:
+        """[EXTENSION] emit an XRef *stream* (W=[1 2 1]) instead of the
+        classic table; optional PNG Up-predictor (12) encoding."""
+        xref_num = max(self.objects) + 1
+        out = bytearray(b"%PDF-1.5\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(self.objects):
+            offsets[num] = len(out)
+            out += (str(num).encode() + b" 0 obj\n" + self.objects[num]
+                    + b"\nendobj\n")
+        xref_off = len(out)
+        size = xref_num + 1
+        rows = []
+        for num in range(size):
+            if num == 0:
+                rows.append(bytes([0]) + (0).to_bytes(2, "big") + bytes([255]))
+            elif num == xref_num:
+                rows.append(bytes([1]) + xref_off.to_bytes(2, "big")
+                            + bytes([0]))
+            elif num in offsets:
+                rows.append(bytes([1]) + offsets[num].to_bytes(2, "big")
+                            + bytes([0]))
+            else:
+                rows.append(bytes([0]) + (0).to_bytes(2, "big") + bytes([0]))
+        if predictor:
+            enc = bytearray()
+            prev = bytes(4)
+            for row in rows:
+                enc.append(2)  # Up
+                enc += bytes((row[i] - prev[i]) & 0xFF for i in range(4))
+                prev = row
+            data = zlib.compress(bytes(enc))
+            parms = b" /DecodeParms <</Predictor 12 /Columns 4>>"
+        else:
+            data = zlib.compress(b"".join(rows))
+            parms = b""
+        d = (b"<</Type /XRef /Size " + str(size).encode()
+             + b" /Root " + str(root).encode() + b" 0 R"
+             + b" /W [1 2 1] /Filter /FlateDecode" + parms
+             + b" /Length " + str(len(data)).encode() + b">>")
+        out += (str(xref_num).encode() + b" 0 obj\n" + d
+                + b"\nstream\n" + data + b"\nendstream\nendobj\n")
+        out += (b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n")
+        return bytes(out)
+
+
+def _scaffold(b: PdfBuilder, content_obj: int = 4,
+              font_extra: bytes = b"") -> None:
+    """Catalog(1) -> Pages(2) -> Page(3) with Contents 4 0 R, font F1=5."""
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [3 0 R] /Count 1 "
+             b"/MediaBox [0 0 612 792]>>")
+    b.add(3, b"<</Type /Page /Parent 2 0 R /Contents "
+             + str(content_obj).encode() + b" 0 R "
+             b"/Resources <</Font <</F1 5 0 R>>>>>>")
+    b.add(5, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+             + font_extra + b">>")
+
+
+# ------------------------------------------------------------- fixtures
+
+def pdf_min_text():
+    """Happy path: classic xref, uncompressed content (FIXTURES.md §5)."""
+    b = PdfBuilder()
+    _scaffold(b)
+    content = b"BT /F1 12 Tf 72 720 Td " + lit("Hello") + b" Tj ET"
+    b.add_stream(4, b"", content)
+    return b.build(), {"text": "Hello", "n_pages": 1, "n_spans": 1}
+
+
+def pdf_flate_text():
+    """FlateDecode content stream with INDIRECT /Length
+    (ref src/object.rs:545-566 semantics)."""
+    b = PdfBuilder()
+    _scaffold(b)
+    content = zlib.compress(
+        b"BT /F1 12 Tf 72 720 Td " + lit("Hello, Flate!") + b" Tj ET")
+    b.add_stream(4, b"/Filter /FlateDecode", content, length_ref=6)
+    return b.build(), {"text": "Hello, Flate!", "n_pages": 1, "n_spans": 1}
+
+
+def pdf_multipage():
+    """2-level page tree: Pages -> [Pages -> [Page, Page], Page]; DFS
+    preorder numbering (ref src/page_tree.rs:91-133)."""
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [10 0 R 5 0 R] /Count 3 "
+             b"/MediaBox [0 0 612 792] "
+             b"/Resources <</Font <</F1 9 0 R>>>>>>")
+    b.add(10, b"<</Type /Pages /Parent 2 0 R /Kids [3 0 R 4 0 R] "
+              b"/Count 2>>")
+    b.add(3, b"<</Type /Page /Parent 10 0 R /Contents 6 0 R>>")
+    b.add(4, b"<</Type /Page /Parent 10 0 R /Contents 7 0 R>>")
+    b.add(5, b"<</Type /Page /Parent 2 0 R /Contents 8 0 R>>")
+    for i, obj in ((1, 6), (2, 7), (3, 8)):
+        content = (b"BT /F1 12 Tf 72 720 Td " + lit(f"Page {i}")
+                   + b" Tj 0 -20 Td " + lit("Line two") + b" Tj ET")
+        b.add_stream(obj, b"", content)
+    b.add(9, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")
+    text = "\n".join(f"Page {i}\nLine two" for i in (1, 2, 3))
+    return b.build(), {"text": text, "n_pages": 3, "n_spans": 6}
+
+
+def pdf_tj_array():
+    """TJ with kerning (space at <= -180 thousandths), Tm positioning,
+    two fonts ([EXTENSION] text ops, FIXTURES.md §5)."""
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>")
+    b.add(3, b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+             b"<</Font <</F1 5 0 R /F2 6 0 R>>>>>>")
+    b.add(5, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")
+    b.add(6, b"<</Type /Font /Subtype /Type1 /BaseFont /Times-Roman>>")
+    content = (b"BT /F1 12 Tf 1 0 0 1 72 720 Tm "
+               b"[" + lit("He") + b" -50 " + lit("llo") + b" -250 "
+               + lit("World") + b"] TJ "
+               b"/F2 10 Tf 1 0 0 1 72 700 Tm " + lit("Second font")
+               + b" Tj ET")
+    b.add_stream(4, b"", content)
+    return b.build(), {"text": "Hello World\nSecond font",
+                       "n_pages": 1, "n_spans": 2}
+
+
+def pdf_cmap():
+    """/ToUnicode CMap (bfchar + bfrange), hex-string shown text
+    ([EXTENSION] §9.10.3)."""
+    b = PdfBuilder()
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"12 dict begin\nbegincmap\n"
+            b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+            b"1 beginbfchar\n<21> <263A>\nendbfchar\n"
+            b"1 beginbfrange\n<61> <7A> <0041>\nendbfrange\n"
+            b"endcmap\nend\nend\n")
+    _scaffold(b, font_extra=b" /ToUnicode 6 0 R")
+    b.add_stream(6, b"", cmap)
+    # 'hello' lowercase codes -> mapped to 'HELLO'; '!' (0x21) -> U+263A
+    content = (b"BT /F1 12 Tf 72 720 Td <68656C6C6F> Tj "
+               b"0 -20 Td <21> Tj ET")
+    b.add_stream(4, b"", content)
+    return b.build(), {"text": "HELLO\n☺", "n_pages": 1, "n_spans": 2}
+
+
+def pdf_encoding_diff():
+    """/Encoding /Differences remap ([EXTENSION] §9.6.6): codes 72,73
+    ('H','I') remapped to glyphs G,H -> shown (HI) reads 'GH'."""
+    b = PdfBuilder()
+    _scaffold(b, font_extra=b" /Encoding 6 0 R")
+    b.add(6, b"<</Type /Encoding /BaseEncoding /WinAnsiEncoding "
+             b"/Differences [72 /G /H]>>")
+    content = b"BT /F1 12 Tf 72 720 Td " + lit("HI") + b" Tj ET"
+    b.add_stream(4, b"", content)
+    return b.build(), {"text": "GH", "n_pages": 1, "n_spans": 1}
+
+
+IMG_RGB_2X2 = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+
+
+def pdf_image_flate():
+    """XObject image, DeviceRGB, FlateDecode, 2x2 known pixels
+    (D1-D6 parity, ref src/image.rs)."""
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>")
+    b.add(3, b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+             b"<</Font <</F1 5 0 R>> /XObject <</Im1 6 0 R>>>>>>")
+    b.add(5, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")
+    content = (b"BT /F1 12 Tf 72 720 Td " + lit("img page") + b" Tj ET\n"
+               b"q 100 0 0 100 72 600 cm /Im1 Do Q")
+    b.add_stream(4, b"", content)
+    b.add_stream(6, b"/Subtype /Image /Width 2 /Height 2 "
+                    b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                    b"/Filter /FlateDecode", zlib.compress(IMG_RGB_2X2))
+    return b.build(), {"text": "img page", "n_pages": 1, "n_spans": 1,
+                       "n_images": 1, "image_data": IMG_RGB_2X2}
+
+
+FAKE_JPEG = b"\xff\xd8\xff\xe0fake-jpeg-payload\xff\xd9"
+
+
+def pdf_image_dct_smask():
+    """DCT image with an /SMask pair: the mask XObject must be excluded
+    by the two-pass anti-join (ref src/page.rs:51-74)."""
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>")
+    b.add(3, b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+             b"<</XObject <</Im1 6 0 R /Im2 7 0 R>>>>>>")
+    b.add_stream(4, b"", b"q 10 0 0 10 0 0 cm /Im1 Do Q")
+    b.add_stream(6, b"/Subtype /Image /Width 2 /Height 2 "
+                    b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                    b"/Filter /DCTDecode /SMask 7 0 R", FAKE_JPEG)
+    b.add_stream(7, b"/Subtype /Image /Width 2 /Height 2 "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /FlateDecode",
+                 zlib.compress(bytes([0, 64, 128, 255])))
+    return b.build(), {"text": "", "n_pages": 1, "n_spans": 0,
+                       "n_images": 1, "image_format": "jpeg"}
+
+
+def pdf_xrefstream():
+    """XRef stream (/Type/XRef, W=[1 2 1], PNG Up predictor 12) instead
+    of a classic table ([EXTENSION] §7.5.8)."""
+    b = PdfBuilder()
+    _scaffold(b)
+    content = (b"BT /F1 12 Tf 72 720 Td " + lit("XRef stream works")
+               + b" Tj ET")
+    b.add_stream(4, b"", content)
+    return (b.build_with_xref_stream(),
+            {"text": "XRef stream works", "n_pages": 1, "n_spans": 1})
+
+
+def pdf_objstm():
+    """Catalog/Pages/Page/Font packed in an ObjStm ([EXTENSION] §7.5.7),
+    referenced from an XRef stream with type-2 entries."""
+    inner = {
+        1: b"<</Type /Catalog /Pages 2 0 R>>",
+        2: b"<</Type /Pages /Kids [3 0 R] /Count 1>>",
+        3: b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources <</Font <</F1 5 0 R>>>>>>",
+        5: b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>",
+    }
+    pairs = []
+    bodies = bytearray()
+    for num, body in inner.items():
+        pairs.append(f"{num} {len(bodies)}".encode())
+        bodies += body + b"\n"
+    header = b" ".join(pairs) + b"\n"
+    objstm_data = header + bytes(bodies)
+    first = len(header)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    # 4: content stream (streams cannot live inside an ObjStm)
+    content = b"BT /F1 12 Tf 72 720 Td " + lit("ObjStm works") + b" Tj ET"
+    offsets[4] = len(out)
+    out += (b"4 0 obj\n<</Length " + str(len(content)).encode()
+            + b">>\nstream\n" + content + b"\nendstream\nendobj\n")
+    # 6: the object stream
+    comp = zlib.compress(objstm_data)
+    offsets[6] = len(out)
+    out += (b"6 0 obj\n<</Type /ObjStm /N " + str(len(inner)).encode()
+            + b" /First " + str(first).encode()
+            + b" /Filter /FlateDecode /Length " + str(len(comp)).encode()
+            + b">>\nstream\n" + comp + b"\nendstream\nendobj\n")
+    # 7: xref stream. type-2 rows point into ObjStm 6
+    xref_off = len(out)
+    size = 8
+    rows = [bytes([0, 0, 0, 255])]  # obj 0 free
+    for num in range(1, size):
+        if num in (1, 2, 3, 5):
+            idx = list(inner).index(num)
+            rows.append(bytes([2]) + (6).to_bytes(2, "big") + bytes([idx]))
+        elif num in offsets:
+            rows.append(bytes([1]) + offsets[num].to_bytes(2, "big")
+                        + bytes([0]))
+        elif num == 7:
+            rows.append(bytes([1]) + xref_off.to_bytes(2, "big") + bytes([0]))
+        else:
+            rows.append(bytes([0, 0, 0, 0]))
+    data = zlib.compress(b"".join(rows))
+    out += (b"7 0 obj\n<</Type /XRef /Size " + str(size).encode()
+            + b" /Root 1 0 R /W [1 2 1] /Filter /FlateDecode /Length "
+            + str(len(data)).encode() + b">>\nstream\n" + data
+            + b"\nendstream\nendobj\n")
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    return bytes(out), {"text": "ObjStm works", "n_pages": 1, "n_spans": 1}
+
+
+def pdf_incremental():
+    """Two generations: an incremental update replaces the content
+    stream; new xref has a free entry and /Prev chains to the old table.
+    The reference panics on both (src/cross_reference.rs:67-68, 162-164);
+    we must not (SURVEY.md §2.7.6)."""
+    b = PdfBuilder()
+    _scaffold(b)
+    content0 = b"BT /F1 12 Tf 72 720 Td " + lit("Original text") + b" Tj ET"
+    b.add_stream(4, b"", content0)
+    base = bytearray(b.build())
+    old_xref_off = int(base.rstrip().rsplit(b"startxref", 1)[1]
+                       .split(b"%%EOF")[0].strip())
+
+    # appended generation: new object 4, a freed object 5 is NOT freed
+    # (font still needed) — free a dummy object 6 instead
+    content1 = b"BT /F1 12 Tf 72 720 Td " + lit("Updated text") + b" Tj ET"
+    new4_off = len(base)
+    base += (b"4 0 obj\n<</Length " + str(len(content1)).encode()
+             + b">>\nstream\n" + content1 + b"\nendstream\nendobj\n")
+    xref_off = len(base)
+    base += b"xref\n0 1\n0000000000 65535 f \n"
+    base += b"4 1\n" + b"%010d 00000 n \n" % new4_off
+    base += b"6 1\n0000000000 00001 f \n"
+    base += (b"trailer\n<</Size 7 /Root 1 0 R /Prev "
+             + str(old_xref_off).encode() + b">>\nstartxref\n"
+             + str(xref_off).encode() + b"\n%%EOF\n")
+    return bytes(base), {"text": "Updated text", "n_pages": 1, "n_spans": 1}
+
+
+def pdf_lzw_text():
+    """LZWDecode content stream ([EXTENSION] §7.4.4)."""
+    b = PdfBuilder()
+    _scaffold(b)
+    raw = b"BT /F1 12 Tf 72 720 Td " + lit("LZW works") + b" Tj ET"
+    b.add_stream(4, b"/Filter /LZWDecode", _lzw_encode(raw))
+    return b.build(), {"text": "LZW works", "n_pages": 1, "n_spans": 1}
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal PDF-flavored LZW encoder (EarlyChange=1) for fixtures."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_width = 9
+    out_bits: list[tuple[int, int]] = [(256, 9)]  # ClearTable first
+    w = b""
+    for byte in data:
+        c = w + bytes([byte])
+        if c in table:
+            w = c
+        else:
+            out_bits.append((table[w], code_width))
+            table[c] = next_code
+            next_code += 1
+            # EarlyChange: width bumps one code early
+            if next_code + 1 - 1 >= (1 << code_width) and code_width < 12:
+                code_width += 1
+            w = bytes([byte])
+    if w:
+        out_bits.append((table[w], code_width))
+    out_bits.append((257, code_width))  # EOD
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, width in out_bits:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def pdf_broken_header():
+    pdf, _ = pdf_min_text()
+    return b"%NOT-A-PDF" + pdf[8:], {"error": True}
+
+
+def pdf_broken_truncated():
+    pdf, _ = pdf_min_text()
+    return pdf[:-60], {"error": True}
+
+
+def pdf_broken_bad_length():
+    b = PdfBuilder()
+    _scaffold(b)
+    content = b"BT /F1 12 Tf 72 720 Td " + lit("x") + b" Tj ET"
+    b.add(4, b"<</Length 99999>>\nstream\n" + content + b"\nendstream")
+    return b.build(), {"error": True}
+
+
+# ------------------------------------------------------ fixture registry
+
+FIXTURES = {
+    "pdf-min-text": pdf_min_text,
+    "pdf-flate-text": pdf_flate_text,
+    "pdf-multipage": pdf_multipage,
+    "pdf-tj-array": pdf_tj_array,
+    "pdf-cmap": pdf_cmap,
+    "pdf-encoding-diff": pdf_encoding_diff,
+    "pdf-image-flate": pdf_image_flate,
+    "pdf-image-dct-smask": pdf_image_dct_smask,
+    "pdf-xrefstream": pdf_xrefstream,
+    "pdf-objstm": pdf_objstm,
+    "pdf-incremental": pdf_incremental,
+    "pdf-lzw-text": pdf_lzw_text,
+}
+
+BROKEN_FIXTURES = {
+    "pdf-broken-header": pdf_broken_header,
+    "pdf-broken-truncated": pdf_broken_truncated,
+    "pdf-broken-bad-length": pdf_broken_bad_length,
+}
+
+_FIXTURE_IDS = sorted(FIXTURES)
+_CACHE: dict[str, tuple[bytes, dict]] = {}
+
+
+def get_fixture(fixture_id: str) -> tuple[bytes, dict]:
+    if fixture_id not in _CACHE:
+        fn = FIXTURES.get(fixture_id) or BROKEN_FIXTURES[fixture_id]
+        _CACHE[fixture_id] = fn()
+    return _CACHE[fixture_id]
+
+
+def fixture_id_for(conv_id: str, turn_idx: int) -> str:
+    """Deterministic fixture choice per turn (FIXTURES.md §1). Uses a
+    stable string hash (not Python's salted hash)."""
+    h = 2166136261
+    for ch in conv_id.encode():
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    return _FIXTURE_IDS[(h * 31 + turn_idx) % len(_FIXTURE_IDS)]
+
+
+def fixture_for(conv_id: str, turn_idx: int) -> tuple[str, bytes, dict]:
+    fid = fixture_id_for(conv_id, turn_idx)
+    pdf, golden = get_fixture(fid)
+    return fid, pdf, golden

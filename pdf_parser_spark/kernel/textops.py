@@ -1,0 +1,422 @@
+"""[EXTENSION] Content-stream text interpretation (PDF 32000-1 §9).
+
+The reference stops at image XObjects; the north_star requires Unicode
+text extraction. This module interprets text operators against the text
+matrix and per-font encodings:
+
+- Text object + positioning: ``BT/ET, Td, TD, Tm, T*, TL`` (§9.4.2)
+- Text showing: ``Tj, TJ, ', "`` (§9.4.3) with TJ kerning heuristics
+- Text state: ``Tf, Tc, Tw, Tz, Ts`` (§9.3)
+- Graphics state subset: ``q/Q/cm`` (CTM composition)
+- Fonts: ``/ToUnicode`` CMaps (bfchar/bfrange, §9.10.3), ``/Encoding``
+  ``/Differences`` remaps (§9.6.6), Type0/Identity-H 2-byte codes
+- Reading order: spans sorted by (page, -y, x) with line grouping
+  (SURVEY.md §2.8 convention)
+
+Content streams are tokenized by the same COS lexer the reference built
+for objects (ref src/lexer.rs:215-688) in ``content_mode`` — identical
+string/hex/number/name semantics, bare keywords become operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .cos import (
+    TK_ARR_END, TK_ARR_START, TK_HEXSTR, TK_INT, TK_NAME, TK_OP, TK_REAL,
+    TK_STR, LexerError, Token, tokenize,
+)
+
+Matrix = tuple  # (a, b, c, d, e, f) — PDF §8.3.3 row-major 3x2
+
+IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mat_mul(m: Matrix, n: Matrix) -> Matrix:
+    """m x n (apply m first, then n) per PDF matrix convention."""
+    a1, b1, c1, d1, e1, f1 = m
+    a2, b2, c2, d2, e2, f2 = n
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def translate(tx: float, ty: float) -> Matrix:
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+# ------------------------------------------------------------------ AGL
+
+# Minimal Adobe Glyph List subset for /Differences decoding: ASCII names
+# plus the punctuation/latin names common in PDF writers.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "ellipsis": "…", "fi": "ﬁ",
+    "fl": "ﬂ", "degree": "°", "copyright": "©",
+    "registered": "®", "trademark": "™", "euro": "€",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "eacute": "é", "egrave": "è", "agrave": "à",
+    "ccedilla": "ç", "ntilde": "ñ",
+}
+for _c in range(0x41, 0x5B):
+    _AGL[chr(_c)] = chr(_c)
+for _c in range(0x61, 0x7B):
+    _AGL[chr(_c)] = chr(_c)
+
+
+def glyph_name_to_unicode(name: str) -> str | None:
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    if len(name) == 1:
+        return name
+    return None
+
+
+# ---------------------------------------------------------------- CMaps
+
+def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], set[int]]:
+    """Parse a /ToUnicode CMap stream (§9.10.3): returns
+    ({code -> unicode string}, {codespace byte lengths})."""
+    toks = tokenize(data, 0, content_mode=True)
+    mapping: dict[int, str] = {}
+    code_lens: set[int] = set()
+    i = 0
+    n = len(toks)
+
+    def utf16be(b: bytes) -> str:
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return b.decode("utf-16-be", errors="replace")
+
+    while i < n:
+        t = toks[i]
+        if t.kind == TK_OP and t.value == "begincodespacerange":
+            i += 1
+            while i < n and not (toks[i].kind == TK_OP
+                                 and toks[i].value == "endcodespacerange"):
+                if toks[i].kind == TK_HEXSTR:
+                    code_lens.add(len(toks[i].value))
+                i += 1
+        elif t.kind == TK_OP and t.value == "beginbfchar":
+            i += 1
+            while i + 1 < n and toks[i].kind == TK_HEXSTR:
+                src = int.from_bytes(toks[i].value, "big")
+                code_lens.add(len(toks[i].value))
+                dst = toks[i + 1]
+                if dst.kind == TK_HEXSTR:
+                    mapping[src] = utf16be(dst.value)
+                i += 2
+        elif t.kind == TK_OP and t.value == "beginbfrange":
+            i += 1
+            while i + 2 < n and toks[i].kind == TK_HEXSTR:
+                lo = int.from_bytes(toks[i].value, "big")
+                hi = int.from_bytes(toks[i + 1].value, "big")
+                code_lens.add(len(toks[i].value))
+                dst = toks[i + 2]
+                if dst.kind == TK_HEXSTR:
+                    base = dst.value
+                    for k in range(hi - lo + 1):
+                        if len(base) >= 2:
+                            # increment the last UTF-16 code unit (§9.10.3)
+                            unit = int.from_bytes(base[-2:], "big") + k
+                            b = base[:-2] + unit.to_bytes(2, "big")
+                        else:
+                            b = bytes([base[-1] + k])
+                        mapping[lo + k] = utf16be(b)
+                    i += 3
+                elif dst.kind == TK_ARR_START:
+                    i += 3
+                    k = 0
+                    while i < n and toks[i].kind != TK_ARR_END:
+                        if toks[i].kind == TK_HEXSTR:
+                            mapping[lo + k] = utf16be(toks[i].value)
+                            k += 1
+                        i += 1
+                    i += 1
+                else:
+                    i += 3
+        i += 1
+    return mapping, code_lens
+
+
+# ---------------------------------------------------------------- fonts
+
+@dataclass
+class FontInfo:
+    name: str                       # resource name, e.g. F1
+    code_bytes: int = 1             # 1 for simple fonts, 2 for Identity-H
+    to_unicode: dict[int, str] | None = None
+    differences: dict[int, str] | None = None  # code -> unicode
+
+    def decode(self, raw: bytes) -> str:
+        """Shown-string bytes -> unicode (§9.10.2 priority: ToUnicode,
+        then Encoding/Differences, then latin-1 passthrough)."""
+        out = []
+        step = self.code_bytes
+        for i in range(0, len(raw), step):
+            chunk = raw[i:i + step]
+            if len(chunk) < step:
+                chunk = chunk.ljust(step, b"\0")
+            code = int.from_bytes(chunk, "big")
+            if self.to_unicode is not None and code in self.to_unicode:
+                out.append(self.to_unicode[code])
+                continue
+            if self.differences is not None and code in self.differences:
+                out.append(self.differences[code])
+                continue
+            if self.to_unicode is not None and step == 2:
+                out.append("�")  # unmapped CID
+                continue
+            out.append(chr(code) if code < 256 else "�")
+        return "".join(out)
+
+
+def build_font(doc, name: str, font_dict) -> FontInfo:
+    """Build a FontInfo from a /Font resource entry. ``doc`` is a
+    PdfDocument (duck-typed to avoid circular import)."""
+    from .cos import PdfArray, PdfDict, PdfInteger, PdfName, PdfStreamObj
+
+    info = FontInfo(name=name)
+    fd = doc.resolve(font_dict)
+    if not isinstance(fd, PdfDict):
+        return info
+
+    subtype = fd.get("Subtype")
+    if isinstance(subtype, PdfName) and subtype.value == "Type0":
+        info.code_bytes = 2  # Identity-H / composite font
+
+    tu = fd.get("ToUnicode")
+    if tu is not None:
+        tu = doc.resolve(tu)
+        if isinstance(tu, PdfStreamObj):
+            try:
+                mapping, code_lens = parse_tounicode_cmap(doc.stream_data(tu))
+                info.to_unicode = mapping
+                if code_lens:
+                    info.code_bytes = max(code_lens)
+            except (LexerError, Exception):
+                pass
+
+    enc = fd.get("Encoding")
+    if enc is not None:
+        enc = doc.resolve(enc)
+        if isinstance(enc, PdfDict):
+            diffs = enc.get("Differences")
+            if isinstance(diffs, PdfArray):
+                dmap: dict[int, str] = {}
+                code = 0
+                for item in diffs:
+                    if isinstance(item, PdfInteger):
+                        code = item.value
+                    elif isinstance(item, PdfName):
+                        u = glyph_name_to_unicode(item.value)
+                        dmap[code] = u if u is not None else "�"
+                        code += 1
+                info.differences = dmap
+        elif isinstance(enc, PdfName) and enc.value in ("Identity-H",
+                                                        "Identity-V"):
+            info.code_bytes = 2
+    return info
+
+
+# ----------------------------------------------------------- interpreter
+
+@dataclass
+class TextSpan:
+    page: int
+    x: float
+    y: float
+    font: str
+    text: str
+
+
+# TJ kerning heuristic: adjustments are thousandths of em moving the pen
+# LEFT for positive values... spec: subtracted from displacement. A large
+# negative number widens the gap -> treat as an inter-word space.
+TJ_SPACE_THRESHOLD = -180.0
+
+
+class ContentInterpreter:
+    """Execute one page's content stream, emitting TextSpans."""
+
+    def __init__(self, fonts: dict[str, FontInfo], page_number: int):
+        self.fonts = fonts
+        self.page = page_number
+        self.spans: list[TextSpan] = []
+
+    def run(self, content: bytes) -> list[TextSpan]:
+        if not content.strip():
+            return self.spans
+        toks = tokenize(content, 0, content_mode=True)
+        ctm: Matrix = IDENTITY
+        gstack: list[Matrix] = []
+        tm: Matrix = IDENTITY
+        tlm: Matrix = IDENTITY
+        leading = 0.0
+        font: FontInfo | None = None
+        font_size = 0.0
+        operands: list[Token] = []
+
+        def opnum(t: Token) -> float:
+            return float(t.value)
+
+        def emit(raw: bytes) -> None:
+            nonlocal tm
+            if font is None:
+                f = FontInfo(name="")
+            else:
+                f = font
+            text = f.decode(raw)
+            if text == "":
+                return
+            dev = mat_mul(tm, ctm)
+            self.spans.append(
+                TextSpan(self.page, dev[4], dev[5], f.name, text))
+
+        i = 0
+        n = len(toks)
+        while i < n:
+            t = toks[i]
+            if t.kind != TK_OP:
+                operands.append(t)
+                i += 1
+                continue
+            op = t.value
+            try:
+                if op == "q":
+                    gstack.append(ctm)
+                elif op == "Q":
+                    ctm = gstack.pop() if gstack else IDENTITY
+                elif op == "cm" and len(operands) >= 6:
+                    m = tuple(opnum(x) for x in operands[-6:])
+                    ctm = mat_mul(m, ctm)
+                elif op == "BT":
+                    tm = IDENTITY
+                    tlm = IDENTITY
+                elif op == "ET":
+                    pass
+                elif op == "Tf" and len(operands) >= 2:
+                    fname = operands[-2].value
+                    font_size = opnum(operands[-1])
+                    font = self.fonts.get(fname, FontInfo(name=str(fname)))
+                elif op == "Td" and len(operands) >= 2:
+                    tlm = mat_mul(translate(opnum(operands[-2]),
+                                            opnum(operands[-1])), tlm)
+                    tm = tlm
+                elif op == "TD" and len(operands) >= 2:
+                    leading = -opnum(operands[-1])
+                    tlm = mat_mul(translate(opnum(operands[-2]),
+                                            opnum(operands[-1])), tlm)
+                    tm = tlm
+                elif op == "Tm" and len(operands) >= 6:
+                    tlm = tuple(opnum(x) for x in operands[-6:])
+                    tm = tlm
+                elif op == "T*":
+                    tlm = mat_mul(translate(0.0, -leading), tlm)
+                    tm = tlm
+                elif op == "TL" and len(operands) >= 1:
+                    leading = opnum(operands[-1])
+                elif op == "Tj" and operands:
+                    last = operands[-1]
+                    if last.kind in (TK_STR, TK_HEXSTR):
+                        emit(last.value)
+                elif op == "'" and operands:
+                    tlm = mat_mul(translate(0.0, -leading), tlm)
+                    tm = tlm
+                    last = operands[-1]
+                    if last.kind in (TK_STR, TK_HEXSTR):
+                        emit(last.value)
+                elif op == '"' and len(operands) >= 3:
+                    tlm = mat_mul(translate(0.0, -leading), tlm)
+                    tm = tlm
+                    last = operands[-1]
+                    if last.kind in (TK_STR, TK_HEXSTR):
+                        emit(last.value)
+                elif op == "TJ":
+                    # operands hold the array tokens: arr_start items arr_end
+                    parts: list[str] = []
+                    f = font if font is not None else FontInfo(name="")
+                    for ot in operands:
+                        if ot.kind in (TK_STR, TK_HEXSTR):
+                            parts.append(f.decode(ot.value))
+                        elif ot.kind in (TK_INT, TK_REAL):
+                            if float(ot.value) <= TJ_SPACE_THRESHOLD:
+                                parts.append(" ")
+                    text = "".join(parts)
+                    if text:
+                        dev = mat_mul(tm, ctm)
+                        self.spans.append(TextSpan(
+                            self.page, dev[4], dev[5], f.name, text))
+                # all other operators (colors, paths, XObjects, marked
+                # content, inline images already skipped by lexer) are
+                # no-ops for text extraction
+            finally:
+                operands = []
+            i += 1
+        return self.spans
+
+
+# --------------------------------------------------------- reading order
+
+LINE_Y_QUANTUM = 2.0  # device units within which spans share a line
+
+
+def spans_to_text(spans: list[TextSpan]) -> str:
+    """Reading-order assembly: sort by (page, -y, x) with line grouping
+    (SURVEY.md §2.8); spans in a line concatenated, lines joined by \\n,
+    pages joined by \\n."""
+    if not spans:
+        return ""
+    by_page: dict[int, list[TextSpan]] = {}
+    for s in spans:
+        by_page.setdefault(s.page, []).append(s)
+    page_texts = []
+    for page in sorted(by_page):
+        page_spans = by_page[page]
+        # stable sort by -y: spans emitted in content order keep order
+        # when y ties (consecutive shows without repositioning)
+        page_spans = sorted(page_spans,
+                            key=lambda s: -round(s.y / LINE_Y_QUANTUM))
+        lines: list[list[TextSpan]] = []
+        cur_key = None
+        for s in page_spans:
+            key = round(s.y / LINE_Y_QUANTUM)
+            if cur_key is None or key != cur_key:
+                lines.append([s])
+                cur_key = key
+            else:
+                lines[-1].append(s)
+        line_texts = []
+        for line in lines:
+            line_sorted = sorted(line, key=lambda s: s.x)
+            line_texts.append("".join(s.text for s in line_sorted))
+        page_texts.append("\n".join(line_texts))
+    return "\n".join(page_texts)

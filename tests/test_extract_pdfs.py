@@ -1,0 +1,86 @@
+"""End-to-end kernel extraction over the whole-PDF fixture corpus
+(FIXTURES.md §5). Exercises header->trailer->xref->page-tree->content
+interpretation on every structural variant, including the cases where
+the reference would panic (free entries, /Prev chains, XRef streams)."""
+
+import pytest
+
+from pdf_parser_spark.fixtures import (
+    BROKEN_FIXTURES, FIXTURES, IMG_RGB_2X2, get_fixture,
+)
+from pdf_parser_spark.kernel.extract import extract_text
+
+
+@pytest.mark.parametrize("fid", sorted(FIXTURES))
+def test_fixture_text_golden(fid):
+    pdf, golden = get_fixture(fid)
+    res = extract_text(pdf)
+    assert res["parse_error"] is None, f"{fid}: {res['parse_error']}"
+    assert res["text"] == golden["text"], fid
+    assert res["n_pages"] == golden["n_pages"], fid
+    assert len(res["spans"]) == golden["n_spans"], fid
+    assert res["bytes"] == len(pdf)
+
+
+@pytest.mark.parametrize("fid", sorted(BROKEN_FIXTURES))
+def test_broken_fixture_records_error(fid):
+    """Malformed input -> parse_error row, never an exception
+    (north_rule: parse-failure accounting; the reference panics)."""
+    pdf, _ = get_fixture(fid)
+    res = extract_text(pdf)
+    assert res["parse_error"] is not None, fid
+    assert res["text"] == ""
+
+
+def test_image_flate_parity():
+    """2x2 DeviceRGB Flate image round-trips to known pixels
+    (ref src/image.rs:132-161)."""
+    pdf, golden = get_fixture("pdf-image-flate")
+    res = extract_text(pdf, with_images=True)
+    assert res["parse_error"] is None
+    assert len(res["images"]) == 1
+    img = res["images"][0]
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["format"] == "raw-rgb"
+    assert img["data"] == IMG_RGB_2X2
+
+
+def test_image_smask_anti_join():
+    """The /SMask pair is excluded; only the main DCT image survives
+    (ref src/page.rs:51-74)."""
+    pdf, golden = get_fixture("pdf-image-dct-smask")
+    res = extract_text(pdf, with_images=True)
+    assert res["parse_error"] is None
+    assert len(res["images"]) == 1
+    assert res["images"][0]["format"] == "jpeg"
+    assert res["images"][0]["name"] == "Im1"
+
+
+def test_gray_image_expands_to_rgb():
+    """DeviceGray rasters expand to RGB like the reference's
+    into_rgb8() (src/image.rs:158-160)."""
+    import zlib
+
+    from pdf_parser_spark.fixtures import PdfBuilder, lit
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>")
+    b.add(3, b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+             b"<</XObject <</Im1 6 0 R>>>>>>")
+    b.add_stream(4, b"", b"q 1 0 0 1 0 0 cm /Im1 Do Q")
+    b.add_stream(6, b"/Subtype /Image /Width 2 /Height 1 "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /FlateDecode", zlib.compress(bytes([7, 200])))
+    res = extract_text(b.build(), with_images=True)
+    assert res["parse_error"] is None
+    assert res["images"][0]["data"] == bytes([7, 7, 7, 200, 200, 200])
+
+
+def test_page_subset_scan():
+    """Page-subset extraction parity with PDF::extract_image(&pages)
+    (ref src/lib.rs:60-72): untouched pages' content is never parsed."""
+    pdf, _ = get_fixture("pdf-multipage")
+    res = extract_text(pdf, pages=[2])
+    assert res["parse_error"] is None
+    assert res["text"] == "Page 2\nLine two"
+    assert res["n_pages"] == 3  # page count still reflects the tree
