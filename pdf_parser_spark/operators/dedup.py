@@ -1,0 +1,209 @@
+"""Deduplication operators over a document corpus.
+
+Large-scale training-data dedup, Spark-first — everything below is
+composed from built-in JVM-side expressions (no Python UDFs in any hot
+path), so the plans whole-stage-codegen and scale by partitioning:
+
+- exact dedup:        hash-groupBy on a content digest (one shuffle on
+                      the digest; map-side partial agg applies)
+- minhash + LSH:      shingle -> 64 hash perms -> band buckets ->
+                      self-join on (band, bucket). The only shuffle is
+                      the bucket join; bands make it sub-quadratic.
+- simhash:            64-bit sign-sum of token hashes, computed with
+                      aggregate/transform (codegen), bucketed by the
+                      top-k bits for candidate pairing
+- n-gram jaccard:     exact pairwise similarity on LSH candidates only
+- embedding cosine:   near-dup by cosine >= threshold on LSH-candidate
+                      or block-joined pairs
+
+All functions return DataFrames and are deterministic (xxhash64-based,
+no RNG), so DuckDB oracles can replicate the SQL-expressible ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ exact dedup
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group.
+    One shuffle on the digest; partial aggregation is map-side."""
+    return (docs
+            .withColumn("_digest", F.md5(F.col(text_col)))
+            .groupBy("_digest")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .drop("_digest"))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Digest groups with >1 member (the duplicates themselves)."""
+    return (docs
+            .withColumn("digest", F.md5(F.col(text_col)))
+            .groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# --------------------------------------------------------------- shingles
+
+def _normalize(text: Column) -> Column:
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> (distinct), built from
+    JVM-side split + transform + slice — no Python."""
+    words = F.split(F.trim(_normalize(text)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(n >= k,
+               F.transform(idx, lambda i: F.concat_ws(
+                   " ", F.slice(words, i + 1, k))))
+        .otherwise(F.array(F.concat_ws(" ", words))))
+
+
+# ------------------------------------------------------------ minhash/LSH
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 64,
+                       k: int = 5) -> DataFrame:
+    """num_perm minhash values per doc: min over shingles of
+    xxhash64(shingle, seed_i). All codegen'd array expressions."""
+    sh = shingles(F.col(text_col), k)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_perm)
+    ])
+    return docs.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16, rows_per_band: int = 4
+                        ) -> DataFrame:
+    """Band the signature, bucket-join within bands. Returns distinct
+    candidate (a, b) pairs with a < b.
+
+    Scale: the explode is bands× row inflation (cheap — band hashes,
+    not text); the self-join shuffles on (band, bucket) which is
+    uniformly hash-distributed, so no hot keys. AQE handles residual
+    skew from giant buckets.
+    """
+    banded = signatures.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("signature", b * rows_per_band + r + 1)
+                       .cast("string") for r in range(rows_per_band)]))
+            for b in range(bands)
+        ])).alias("band", "bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("a"),
+                    F.col(f"b.{id_col}").alias("b"))
+            .distinct())
+
+
+def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 64,
+                        k: int = 5, bands: int = 16,
+                        threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact
+    jaccard verification on candidates only."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, k).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sh = docs.select(F.col(id_col),
+                     shingles(F.col(text_col), k).alias("sh"))
+    j = (cands
+         .join(sh.withColumnRenamed(id_col, "a")
+                 .withColumnRenamed("sh", "sh_a"), "a")
+         .join(sh.withColumnRenamed(id_col, "b")
+                 .withColumnRenamed("sh", "sh_b"), "b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (j.withColumn("jaccard",
+                         F.when(union > 0, inter / union).otherwise(0.0))
+             .filter(F.col("jaccard") >= threshold)
+             .select("a", "b", "jaccard"))
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sign of the sum of
+    token-hash bits. Pure aggregate/transform expressions (codegen)."""
+    words = F.split(F.trim(_normalize(F.col(text_col))), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_sums = [
+        F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1))
+        for i in range(64)
+    ]
+    fingerprint = None
+    for i, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return docs.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
+                       prefix_bits: int = 16, max_hamming: int = 3
+                       ) -> DataFrame:
+    """Block on the top prefix_bits, verify Hamming distance on the
+    blocked pairs (bit_count of xor)."""
+    blocked = sim.withColumn(
+        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .withColumn("hamming", F.bit_count(xor))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col(f"a.{id_col}").alias("a"),
+                    F.col(f"b.{id_col}").alias("b"), "hamming"))
+
+
+# --------------------------------------------------- embedding near-dup
+
+def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           block_col: str | None = "label",
+                           threshold: float = 0.95) -> DataFrame:
+    """Near-dup by cosine similarity. Blocking column bounds the join
+    (at scale: replace with LSH buckets over random hyperplanes); the
+    dot/norms are F.aggregate/F.zip_with — JVM-side, no UDF."""
+    v = emb.select(F.col(id_col), F.col(vec_col).alias("v"),
+                   *( [F.col(block_col)] if block_col else [] ))
+    a = v.alias("a")
+    b = v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (a.join(b, cond)
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("a"),
+                    F.col(f"b.{id_col}").alias("b"), "cosine"))
