@@ -146,16 +146,21 @@ def simhash(docs: DataFrame, text_col: str = "text",
     token-hash bits. Pure aggregate/transform expressions (codegen)."""
     words = F.split(F.trim(_normalize(F.col(text_col))), " ")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_sums = [
-        F.aggregate(
+    one = F.lit(1).cast("long")
+
+    def bit_sum(i: int):
+        # closure factory keeps the merge lambda binary (PySpark
+        # dispatches on lambda arity)
+        return F.aggregate(
             hashes, F.lit(0),
             lambda acc, h: acc + F.when(
-                h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1))
-        for i in range(64)
-    ]
+                h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1))
+
+    bit_sums = [bit_sum(i) for i in range(64)]
     fingerprint = None
     for i, s in enumerate(bit_sums):
-        bit = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        # shiftleft handles bit 63 (1<<63 overflows a Java long literal)
+        bit = F.when(s > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return docs.select(F.col(id_col), fingerprint.alias("simhash"))
 

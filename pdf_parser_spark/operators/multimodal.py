@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct, exactly like the PDF payloads do. The Spark-side
+plumbing — schema, partitioning, mapInPandas batch shape, frame
+sampling — is real and tested; the *codec* itself is a STUB: the
+container ships no image/audio libraries, so ``decode_meta`` tries
+PIL/real decoders first and falls back to a clearly-marked
+deterministic fake (header arithmetic on the payload length + byte
+sum). Swap ``_fake_decode`` for a real decoder on a cluster with
+codecs installed; nothing else changes.
+
+Scale: decode is embarrassingly parallel (no shuffle); batches cross
+the Arrow boundary once per ~256 rows (session.py caps batch rows
+because payloads are fat), and only (id, payload) columns are sent to
+Python — metadata joins back by id if other columns are needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODE_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("byte_sum", T.LongType()),
+    T.StructField("decoder", T.StringType()),
+])
+
+FRAME_STRIDE = 256
+
+
+def as_media(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Wrap a corpus as (doc_id, modality, payload binary). In
+    production the payload column IS the stored image/audio bytes; here
+    the documents' utf-8 bytes stand in (deterministic, same plumbing)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"))
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB codec — deterministic arithmetic standing in for a real
+    image decode. Replace with PIL/libvips on a real cluster."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": 1 + n % 640,
+        "height": 1 + (n * 31) % 480,
+        "channels": 3,
+        "byte_sum": sum(payload) % 65536,
+        "decoder": "fake",
+    }
+
+
+def _try_real_decode(payload: bytes) -> dict | None:
+    """Real decoder path, gated behind import-try (absent here)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+    import io
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return {"n_bytes": len(payload), "width": im.width,
+                    "height": im.height,
+                    "channels": len(im.getbands()),
+                    "byte_sum": sum(payload) % 65536,
+                    "decoder": "pil"}
+    except Exception:
+        return None
+
+
+def decode_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: one Python call per Arrow batch, emitting a
+    typed metadata row per payload (UDTF-shaped like the PDF kernel)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf["payload"]:
+                data = bytes(payload) if payload is not None else b""
+                metas.append(_try_real_decode(data) or _fake_decode(data))
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "modality", pdf["modality"].values)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["channels"] = out["channels"].astype("int32")
+            yield out
+
+    return (media.select("doc_id", "modality", "payload")
+            .mapInPandas(run, schema=DECODE_META_SCHEMA))
+
+
+def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Sample 'frames' every ``stride`` bytes: one output row per frame
+    with its byte offset — the video-frame-sampling shape, as a pure
+    codegen'd posexplode(sequence(...)), no Python at all."""
+    n = F.octet_length("payload")
+    frames = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / stride)))
+    return (media
+            .select("doc_id", "modality", n.alias("n_bytes"),
+                    F.posexplode(frames).alias("frame_idx", "_f"))
+            .select("doc_id", "modality", "n_bytes",
+                    F.col("frame_idx").cast("int").alias("frame_idx"),
+                    (F.col("frame_idx") * stride).cast("long")
+                    .alias("byte_offset")))

@@ -1,0 +1,141 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies over ``embeddings(vec_id, embedding array<float>,
+label)``:
+
+- ``cosine_topk``        — exact brute-force top-k: probe × corpus join,
+                           cosine via zip_with/aggregate (JVM codegen,
+                           no UDF), windowed row_number per probe.
+                           The correctness baseline; O(P×N).
+- ``lsh_cosine_topk``    — scale path: sign-random-projection LSH.
+                           Deterministic seeded hyperplanes are inlined
+                           as literal arrays; vectors hash to a bucket
+                           (one bit per plane), the join runs only
+                           within buckets (multi-probe over Hamming-1
+                           neighbors for recall), then exact cosine +
+                           top-k on the candidates. At 10^12 vectors the
+                           bucket join shuffles only (bucket, id, vec),
+                           uniformly hash-distributed — the probe side
+                           is broadcast.
+
+Float determinism: folds are left-to-right in Spark's ``aggregate``
+and DuckDB's ``list_reduce`` alike, and float32→double widening is
+exact, so the brute-force oracle matches bit-for-bit (rounded to 6dp
+for safety).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+LSH_SEED = 42
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Exact brute-force cosine top-k for each probe id.
+
+    Plan shape: the probe side is a handful of rows → broadcast
+    nested-loop join against the corpus (no shuffle of the corpus),
+    then a window partitioned by probe (small: P×N rows shuffled on
+    probe_id, bounded by P × corpus). Self-matches excluded.
+    """
+    probes = (emb.filter(F.col(id_col).isin(probe_ids))
+              .select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("probe_vec")))
+    corpus = emb.select(F.col(id_col).alias("cand_id"),
+                        F.col(vec_col).alias("cand_vec"))
+    scored = (F.broadcast(probes).crossJoin(corpus)
+              .filter(F.col("probe_id") != F.col("cand_id"))
+              .withColumn("cosine",
+                          F.round(cosine(F.col("probe_vec"),
+                                         F.col("cand_vec")), 6)))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "cand_id", "cosine", "rank"))
+
+
+# ------------------------------------------------------------------ LSH
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = LSH_SEED
+                ) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (seeded — no runtime RNG)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-random-projection bucket id: bit i = (vec · plane_i) > 0.
+    Planes are inlined literal arrays → pure codegen expressions."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(w)) for w in plane])
+        bucket = bucket + F.when(_dot(vec, lit) > 0,
+                                 F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 8, dim: int = 64,
+                    multiprobe_hamming1: bool = True) -> DataFrame:
+    """ANN top-k: candidates from SRP-LSH buckets, exact cosine rerank.
+
+    Probes expand to their bucket plus (optionally) all Hamming-1
+    neighbor buckets — standard multi-probe, lifts recall without
+    another hash table. Candidate generation is an equi-join on
+    ``bucket`` (shuffle on a uniform int key; probe side broadcast),
+    rerank is the exact cosine only on candidates.
+    """
+    planes = hyperplanes(dim, n_planes)
+    bucketed = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"))
+    probes = (emb.filter(F.col(id_col).isin(probe_ids))
+              .select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("probe_vec"),
+                      srp_bucket(F.col(vec_col), planes).alias("pbucket")))
+    if multiprobe_hamming1:
+        flips = F.array(*([F.col("pbucket")] +
+                          [F.col("pbucket").bitwiseXOR(F.lit(1 << i))
+                           for i in range(n_planes)]))
+        probes = probes.select("probe_id", "probe_vec",
+                               F.explode(flips).alias("bucket"))
+    else:
+        probes = probes.withColumnRenamed("pbucket", "bucket")
+    cands = (F.broadcast(probes)
+             .join(bucketed, "bucket")
+             .filter(F.col("probe_id") != F.col("cand_id"))
+             .select("probe_id", "probe_vec", "cand_id", "cand_vec")
+             .dropDuplicates(["probe_id", "cand_id"]))
+    scored = cands.withColumn(
+        "cosine", F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), 6))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "cand_id", "cosine", "rank"))

@@ -1,0 +1,166 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Language-ID, quality scoring, token counting and document
+fingerprinting over a ``documents(doc_id, text, lang, source,
+n_chars)`` corpus. Everything is built from JVM-side
+``pyspark.sql.functions`` expressions (whole-stage codegen, zero
+Python in the hot path), embarrassingly parallel per row — no
+shuffle at all, so the operators scale linearly with input splits.
+
+Determinism/oracle notes: ratios are exact int/int divisions and the
+fingerprint is integer arithmetic mod a prime, so a DuckDB oracle
+reproduces values bit-for-bit (see ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared stopword profiles (also used to generate the DuckDB oracle SQL
+# so both engines score from the same lists).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "es"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh": ("de", "shi", "le", "zai", "wo", "you", "he", "ni"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+# BPE-ish pre-tokenizer: word runs or single non-word non-space chars.
+# Same regex dialect subset works in Java regex and DuckDB RE2.
+BPE_ISH_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+def norm_tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens with runs collapsed (no empties)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+
+
+# ------------------------------------------------------------- counting
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword-unit count + char/byte
+    lengths. Pure projection — no shuffle, codegen'd."""
+    toks = norm_tokens(F.col(text_col))
+    return docs.withColumns({
+        "n_tokens": F.size(toks),
+        "n_bpe_units": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN),
+                                 0)),
+        "n_chars_m": F.length(F.col(text_col)),
+        "n_bytes": F.octet_length(F.col(text_col)),
+    })
+
+
+# ------------------------------------------------------------- quality
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1].
+
+    Features (all exact int/int or single-division doubles so oracles
+    replicate them):
+      n_tokens, mean_token_len, punct_ratio (punct chars / chars),
+      stopword_ratio (en-profile tokens / tokens), upper_ratio.
+    Composite: clamped linear blend, the shape a C4/Gopher-style rule
+    filter takes (length bounds + symbol and stopword sanity).
+    """
+    text = F.col(text_col)
+    toks = norm_tokens(text)
+    n_tok = F.size(toks)
+    n_chr = F.length(text)
+    n_punct = n_chr - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_upper = n_chr - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    sw = STOPWORDS["en"]
+    n_stop = F.size(F.filter(
+        toks, lambda t: t.isin(*sw)))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        (n_chr - (n_tok - F.lit(1))).cast("double") / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chr > 0,
+                         n_punct.cast("double") / n_chr).otherwise(0.0)
+    upper_ratio = F.when(n_chr > 0,
+                         n_upper.cast("double") / n_chr).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0,
+                        n_stop.cast("double") / n_tok).otherwise(0.0)
+    len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(0.4) * len_score
+            + F.lit(0.3) * F.least(stop_ratio * 10, F.lit(1.0))
+            + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4,
+                                                 F.lit(1.0)))))
+    return docs.withColumns({
+        "n_tokens": n_tok,
+        "mean_token_len": F.round(mean_tok_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "upper_ratio": F.round(upper_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    })
+
+
+# ------------------------------------------------------------- lang id
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID.
+
+    Per language L: score_L = |tokens ∩ profile_L| / n_tokens (counting
+    repeats). Predicted language = argmax, ties broken by language code
+    ascending (deterministic). n-gram-free heuristic but the real shape
+    of fasttext-lite LID: profile hit-rates, all codegen'd.
+    """
+    toks = norm_tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    def hit_ratio(sw: tuple[str, ...]) -> Column:
+        # NB: the filter lambda must be unary — a default-arg closure
+        # makes PySpark pass (element, index) and break isin.
+        return F.when(n_tok > 0, F.size(
+            F.filter(toks, lambda t: t.isin(*sw))).cast("double")
+            / n_tok).otherwise(0.0)
+
+    scores = {lang: hit_ratio(sw) for lang, sw in sorted(STOPWORDS.items())}
+    best = None
+    best_score = None
+    for lang, sc in scores.items():  # ascending lang order => ties keep first
+        if best is None:
+            best, best_score = F.lit(lang), sc
+        else:
+            take_new = sc > best_score
+            best = F.when(take_new, F.lit(lang)).otherwise(best)
+            best_score = F.when(take_new, sc).otherwise(best_score)
+    out = docs
+    for lang, sc in scores.items():
+        out = out.withColumn(f"score_{lang}", F.round(sc, 6))
+    return out.withColumns({
+        "pred_lang": best,
+        "pred_score": F.round(best_score, 6),
+    })
+
+
+# --------------------------------------------------------- fingerprint
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash document fingerprint.
+
+    fp = fold over normalized tokens w of
+         (acc * 31 + ascii(w[0]) * length(w)) mod 1e9+7
+    Integer arithmetic only — order-dependent but sequential in both
+    engines, so the DuckDB oracle (list_reduce) matches exactly. The
+    per-token value keeps the magnitude < 2^60 pre-mod (no overflow).
+    """
+    toks = norm_tokens(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + F.when(
+            F.length(w) > 0,
+            F.ascii(w).cast("long") * F.length(w)).otherwise(F.lit(0)))
+        % F.lit(FINGERPRINT_MOD),
+    )
+    return docs.withColumn("fingerprint", fp)

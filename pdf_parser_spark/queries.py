@@ -1,0 +1,696 @@
+"""Driver-contract query catalog: Spark queries + DuckDB oracle SQL.
+
+One entry per implemented operator family (SURVEY.md §2 / §2.6 plus the
+training-data-pipeline operators). Each Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame; ``ORACLES[name]`` holds
+ANSI SQL DuckDB runs on the same parquet views. Column names/aliases
+are identical on both sides (the driver's value-hash sorts columns by
+name).
+
+Cross-engine determinism rules used throughout:
+- money/metric sums are taken over BIGINT cents/milli-units (integer
+  addition is order-independent; double sums are not)
+- vector folds (cosine, fingerprints) run left-to-right via Spark
+  ``aggregate`` and DuckDB ``list_reduce`` on double-widened values —
+  bit-identical — then round(6) for belt-and-braces
+- every ORDER-sensitive result (top-k, row_number) uses a compound
+  deterministic sort key
+- xxhash64-based operators (MinHash/SimHash LSH) have no DuckDB
+  equivalent → no oracle entry; the driver records a rows-only check
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_parser_spark.operators import dedup, multimodal, similarity
+from pdf_parser_spark.operators import textstats as tx
+from pdf_parser_spark.operators.extraction import extract_turns
+from pdf_parser_spark.sources.turns import golden_turns, synthetic_turns
+
+# Shared tuning constants (Spark and oracle sides both read these).
+NGRAM_K = 2
+NGRAM_THRESHOLD = 0.10
+MINHASH_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.25
+ANN_PROBES = [0, 1, 2, 3, 4]
+ANN_K = 5
+EXTRACT_N_CONVS = 60
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Relational demo layer (SURVEY.md §2.6: the categories the reference
+# lacks, supplied by Spark built-ins — filter/project, joins, agg,
+# window, sort/limit, set ops, scalar funcs, json, date math)
+# =====================================================================
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter → hash agg (map-side partial) →
+    sort. Sums in integer cents → order-independent, exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00")
+                      .cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"),
+                 F.sum(cents("l_extendedprice")).alias("sum_base_c"),
+                 F.sum((cents("l_extendedprice")
+                        * F.round(F.lit(100) - F.col("l_discount") * 100)
+                        .cast("long"))).alias("sum_disc_c"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .withColumn("avg_qty", F.round(
+                F.col("sum_qty_c") / 100.0 / F.col("count_order"), 6))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * CAST(ROUND(100 - l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0
+             / COUNT(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_by_nation(spark, sf_dir):
+    """Star join: fact orders ⋈ broadcast(customer) ⋈ broadcast(nation)
+    ⋈ broadcast(region) — no fact-side shuffle before the agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("revenue_c"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+ORACLE_Q02 = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q03_customers_without_orders(spark, sf_dir):
+    """Anti join (the reference's SMask exclusion shape, src/page.rs:66-71)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+ORACLE_Q03 = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q04_building_customers_with_orders(spark, sf_dir):
+    """Semi join + predicate pushdown (filters reach the parquet scan)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00")
+        .cast("timestamp"))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+ORACLE_Q04 = """
+SELECT c_custkey, c_name FROM customer c
+WHERE c_mktsegment = 'BUILDING' AND EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+"""
+
+
+def q05_top_orders_per_customer(spark, sf_dir):
+    """Window row_number (the T2 preorder-numbering analogue,
+    src/page_tree.rs:77-87): top-2 orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+ORACLE_Q05 = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
+def q06_top10_orders(spark, sf_dir):
+    """Global sort + limit (TakeOrderedAndProject — no full sort at
+    scale; deterministic compound key)."""
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+ORACLE_Q06 = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q07_supplier_only_nations(spark, sf_dir):
+    """Set op: nations with suppliers EXCEPT nations with top-balance
+    customers (threshold keeps the difference non-empty)."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    sup_n = (s.join(n, s.s_nationkey == n.n_nationkey)
+             .select("n_name").distinct())
+    cus_n = (c.join(n, c.c_nationkey == n.n_nationkey)
+             .select("n_name").distinct())
+    return sup_n.exceptAll(cus_n)
+
+
+ORACLE_Q07 = """
+SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+EXCEPT
+SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9900
+"""
+
+
+def q08_part_brand_stats(spark, sf_dir):
+    """String scalar functions (upper/substring/length — P2/P3/P7
+    analogues) + agg over the derived key."""
+    p = _t(spark, sf_dir, "part")
+    return (p.withColumn("brand_u", F.upper("p_brand"))
+            .withColumn("type_prefix", F.substring("p_type", 1, 6))
+            .groupBy("brand_u", "type_prefix")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+                 .alias("retail_c"),
+                 F.max(F.length("p_name")).alias("max_name_len")))
+
+
+ORACLE_Q08 = """
+SELECT UPPER(p_brand) AS brand_u, SUBSTRING(p_type, 1, 6) AS type_prefix,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS retail_c,
+       CAST(MAX(LENGTH(p_name)) AS INTEGER) AS max_name_len
+FROM part GROUP BY 1, 2
+"""
+
+
+def q09_orders_by_month(spark, sf_dir):
+    """Date math: month bucketing as a string key (TZ-proof across
+    engines) + counts and cents."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("total_c")))
+
+
+ORACLE_Q09 = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders GROUP BY 1
+"""
+
+
+def q10_events_json(spark, sf_dir):
+    """Semi-structured: JSON field extraction + agg per event type."""
+    e = _t(spark, sf_dir, "events")
+    return (e.withColumn("k", F.get_json_object("props", "$.k")
+                         .cast("long"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.sum(F.round(F.col("value") * 1000).cast("long"))
+                 .alias("value_milli")))
+
+
+ORACLE_Q10 = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events GROUP BY event_type
+"""
+
+
+def q11_events_hourly(spark, sf_dir):
+    """Time-bucketed event rollup (the batch face of a streaming
+    windowed agg): per (event_type, hour) counts + milli-sums."""
+    e = _t(spark, sf_dir, "events")
+    return (e.withColumn("hour", F.date_format("ts", "yyyy-MM-dd HH"))
+            .groupBy("event_type", "hour")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000).cast("long"))
+                 .alias("value_milli")))
+
+
+ORACLE_Q11 = """
+SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Dedup family (documents corpus)
+# =====================================================================
+
+def dd01_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+ORACLE_DD01 = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+# Shared shingle SQL fragment (mirrors dedup.shingles with k=2 exactly:
+# normalize → word list → distinct 2-gram strings, whole-string
+# fallback for 1-token docs).
+_SH_SQL = """
+  SELECT doc_id, lang,
+         CASE WHEN len(w) >= {k}
+              THEN list_distinct(list_transform(
+                     range(0, len(w) - {k} + 1),
+                     i -> array_to_string(w[i+1:i+{k}], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS sh
+  FROM (SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text),
+                                                '\\s+', ' ', 'g')),
+                            ' ') AS w
+        FROM documents)
+""".format(k=NGRAM_K)
+
+
+def dd02_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs, blocked by lang (bounded
+    quadratic per block; at scale the block key is an LSH bucket)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "lang",
+                  dedup.shingles(F.col("text"), NGRAM_K).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .withColumn("jaccard", F.round(
+                F.when(union > 0, inter.cast("double") / union)
+                .otherwise(F.lit(0.0)), 6))
+            .filter(F.col("jaccard") >= NGRAM_THRESHOLD)
+            .select(F.col("a.doc_id").alias("a"),
+                    F.col("b.doc_id").alias("b"), "jaccard"))
+
+
+ORACLE_DD02 = f"""
+WITH t AS ({_SH_SQL})
+SELECT a.doc_id AS a, b.doc_id AS b,
+       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+      >= {NGRAM_THRESHOLD}
+"""
+
+
+def dd03_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (xxhash64 perms → banded buckets →
+    candidate join → exact-jaccard verify). No DuckDB analogue of
+    Spark's xxhash64 → rows-only check."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        d, num_perm=64, k=NGRAM_K, bands=16,
+        threshold=MINHASH_THRESHOLD).withColumn(
+            "jaccard", F.round("jaccard", 6))
+
+
+def dd04_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (64-bit sign-sum fingerprint,
+    prefix-blocked Hamming verify). xxhash64-based → rows-only."""
+    d = _t(spark, sf_dir, "documents")
+    sim = dedup.simhash(d)
+    return dedup.simhash_candidates(sim, prefix_bits=8, max_hamming=12)
+
+
+# Embedding cosine fold shared between dd05/ann01 oracle SQL: explicit
+# left-to-right list_reduce on double-widened values == Spark aggregate.
+_COS_SQL = """
+ROUND(
+  list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+              i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)
+  / (sqrt(list_reduce(list_prepend(0.0, list_transform({a},
+               v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform({b},
+                 v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))), 6)
+"""
+
+
+def dd05_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs(
+        e, threshold=COSINE_DUP_THRESHOLD)
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+ORACLE_DD05 = f"""
+WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       {_COS_SQL.format(a='a.v', b='b.v')} AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# =====================================================================
+# Text analysis family
+# =====================================================================
+
+def tx01_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.with_token_counts(d).select(
+        "doc_id", "n_tokens", "n_bpe_units", "n_bytes")
+
+
+ORACLE_TX01 = f"""
+SELECT doc_id,
+       CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                            'g')), ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))
+           AS INTEGER) AS n_bpe_units,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
+def tx02_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.with_quality(d).select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "quality_score")
+
+
+_TOKS_SQL = ("string_split(trim(regexp_replace(lower(text), '\\s+', ' ',"
+             " 'g')), ' ')")
+_EN_SW = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+
+ORACLE_TX02 = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks, length(text) AS n_chr,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '',
+                                              'g')) AS n_punct
+  FROM documents),
+f AS (
+  SELECT doc_id, len(toks) AS n_tok, n_chr, n_punct,
+         len(list_filter(toks, w -> w IN ({_EN_SW}))) AS n_stop
+  FROM t)
+SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens,
+  ROUND(CASE WHEN n_tok > 0
+        THEN (n_chr - (n_tok - 1))::DOUBLE / n_tok ELSE 0.0 END, 6)
+    AS mean_token_len,
+  ROUND(CASE WHEN n_chr > 0 THEN n_punct::DOUBLE / n_chr ELSE 0.0 END, 6)
+    AS punct_ratio,
+  ROUND(CASE WHEN n_tok > 0 THEN n_stop::DOUBLE / n_tok ELSE 0.0 END, 6)
+    AS stopword_ratio,
+  ROUND(GREATEST(0.0, LEAST(1.0,
+    0.4 * LEAST(n_tok::DOUBLE / 50.0, 1.0)
+    + 0.3 * LEAST((CASE WHEN n_tok > 0
+                   THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 10, 1.0)
+    + 0.3 * (1.0 - LEAST((CASE WHEN n_chr > 0
+                          THEN n_punct::DOUBLE / n_chr
+                          ELSE 0.0 END) * 4, 1.0)))), 6)
+    AS quality_score
+FROM f
+"""
+
+
+def tx03_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.with_lang_id(d).select(
+        "doc_id", "lang", "pred_lang", "pred_score", "score_en")
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, sw in sorted(tx.STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        score_exprs.append(
+            f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, "
+            f"w -> w IN ({inlist})))::DOUBLE / len(toks) ELSE 0.0 END "
+            f"AS s_{lang}")
+    langs = sorted(tx.STOPWORDS)
+    # argmax with first-wins tie-break, ascending lang order — mirrors
+    # the Spark when-chain exactly (strictly-greater replaces).
+    best, best_s = f"'{langs[0]}'", f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = (f"CASE WHEN s_{lang} > ({best_s}) THEN '{lang}' "
+                f"ELSE ({best}) END")
+        best_s = (f"CASE WHEN s_{lang} > ({best_s}) THEN s_{lang} "
+                  f"ELSE ({best_s}) END")
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {', '.join(score_exprs)} FROM t)
+SELECT doc_id, lang, {best} AS pred_lang,
+       ROUND({best_s}, 6) AS pred_score, ROUND(s_en, 6) AS score_en
+FROM s
+"""
+
+
+def tx04_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+ORACLE_TX04 = f"""
+SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, list_transform({_TOKS_SQL},
+      w -> CASE WHEN length(w) > 0
+           THEN ord(w)::BIGINT * length(w) ELSE 0 END)),
+      (acc, v) -> (acc * 31 + v) % {tx.FINGERPRINT_MOD}) AS fingerprint
+FROM documents
+"""
+
+
+def tx05_top_bigrams(spark, sf_dir):
+    """Explode + agg + top-k: 20 most document-frequent bigrams."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(F.explode(
+        dedup.shingles(F.col("text"), NGRAM_K)).alias("bigram"))
+    return (sh.groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .orderBy(F.col("doc_freq").desc(), F.col("bigram").asc())
+            .limit(20))
+
+
+ORACLE_TX05 = f"""
+WITH t AS ({_SH_SQL})
+SELECT bigram, COUNT(*) AS doc_freq
+FROM (SELECT unnest(sh) AS bigram FROM t)
+GROUP BY bigram ORDER BY doc_freq DESC, bigram ASC LIMIT 20
+"""
+
+
+# =====================================================================
+# Similarity search family
+# =====================================================================
+
+def ann01_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, ANN_PROBES, k=ANN_K)
+
+
+ORACLE_ANN01 = f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         {_COS_SQL.format(a='p.v', b='c.v')} AS cosine
+  FROM e p JOIN e c ON p.vec_id != c.vec_id
+  WHERE p.vec_id IN ({', '.join(str(p) for p in ANN_PROBES)}))
+SELECT probe_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT probe_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, cand_id ASC)
+           AS rank
+  FROM scored) WHERE rank <= {ANN_K}
+"""
+
+
+def ann02_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN (scale path; literal seeded hyperplanes).
+    Rows-only: the hyperplane arithmetic is not worth inlining into a
+    DuckDB oracle — recall vs ann01 is asserted in tests instead."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_topk(e, ANN_PROBES, k=ANN_K)
+
+
+# =====================================================================
+# Multimodal family
+# =====================================================================
+
+def mm01_decode_meta(spark, sf_dir):
+    """Binary payload plumbing + (stubbed) decode via mapInPandas.
+    Deterministic fake decode → SQL-replicable metadata columns
+    (byte_sum/decoder are pytest-covered, excluded here)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.as_media(d)
+    return multimodal.decode_meta(media).select(
+        "doc_id", "modality", "n_bytes", "width", "height", "channels")
+
+
+ORACLE_MM01 = """
+SELECT doc_id, 'image' AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       CAST(1 + (octet_length(encode(text)) * 31) % 480 AS INTEGER)
+         AS height,
+       CAST(3 AS INTEGER) AS channels
+FROM documents
+"""
+
+
+def mm02_frame_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.as_media(d)
+    return multimodal.frame_sample(media, stride=multimodal.FRAME_STRIDE)
+
+
+ORACLE_MM02 = f"""
+SELECT doc_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(unnest(range(0, ((octet_length(encode(text)) - 1)
+                             // {multimodal.FRAME_STRIDE}) + 1))
+            AS INTEGER) AS frame_idx,
+       unnest(range(0, ((octet_length(encode(text)) - 1)
+                        // {multimodal.FRAME_STRIDE}) + 1))
+         * {multimodal.FRAME_STRIDE} AS byte_offset
+FROM documents WHERE octet_length(encode(text)) > 0
+"""
+
+
+# =====================================================================
+# Extraction family (the flagship — PDF bytes → text, kernel §2.1-2.5)
+# =====================================================================
+
+def ex01_extract_turns(spark, sf_dir):
+    """PDF text extraction over a deterministic synthetic transcript
+    corpus (fixture PDFs in the text column, FIXTURES.md §1). The
+    kernel is not SQL-expressible → rows-only check."""
+    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    out = extract_turns(turns)
+    return out.select("conv_id", "turn_idx", "n_pages", "n_objects",
+                      F.size("spans").alias("n_spans"),
+                      F.length("text").alias("text_len"),
+                      F.col("parse_error").isNotNull().alias("failed"))
+
+
+def ex02_golden_match(spark, sf_dir):
+    """End-to-end golden parity: extraction ⋈ golden on (conv_id,
+    turn_idx), reporting total/matched/failures — the north_rule's
+    per-turn text-equality gate as a query."""
+    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    golden = golden_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    out = extract_turns(turns).select(
+        "conv_id", "turn_idx",
+        F.col("text").alias("extracted"), "parse_error")
+    j = out.join(golden, ["conv_id", "turn_idx"])
+    return j.agg(
+        F.count(F.lit(1)).alias("total_turns"),
+        F.sum(F.when(F.col("extracted") == F.col("text"), 1).otherwise(0))
+        .alias("matched"),
+        F.sum(F.when(F.col("parse_error").isNotNull(), 1).otherwise(0))
+        .alias("parse_failures"))
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_customers_without_orders": q03_customers_without_orders,
+    "q04_building_customers_with_orders": q04_building_customers_with_orders,
+    "q05_top_orders_per_customer": q05_top_orders_per_customer,
+    "q06_top10_orders": q06_top10_orders,
+    "q07_supplier_only_nations": q07_supplier_only_nations,
+    "q08_part_brand_stats": q08_part_brand_stats,
+    "q09_orders_by_month": q09_orders_by_month,
+    "q10_events_json": q10_events_json,
+    "q11_events_hourly": q11_events_hourly,
+    "dd01_exact_dedup": dd01_exact_dedup,
+    "dd02_ngram_jaccard": dd02_ngram_jaccard,
+    "dd03_minhash_lsh": dd03_minhash_lsh,
+    "dd04_simhash": dd04_simhash,
+    "dd05_embedding_cosine": dd05_embedding_cosine,
+    "tx01_token_counts": tx01_token_counts,
+    "tx02_quality": tx02_quality,
+    "tx03_langid": tx03_langid,
+    "tx04_fingerprint": tx04_fingerprint,
+    "tx05_top_bigrams": tx05_top_bigrams,
+    "ann01_cosine_topk": ann01_cosine_topk,
+    "ann02_lsh_topk": ann02_lsh_topk,
+    "mm01_decode_meta": mm01_decode_meta,
+    "mm02_frame_sample": mm02_frame_sample,
+    "ex01_extract_turns": ex01_extract_turns,
+    "ex02_golden_match": ex02_golden_match,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_revenue_by_nation": ORACLE_Q02,
+    "q03_customers_without_orders": ORACLE_Q03,
+    "q04_building_customers_with_orders": ORACLE_Q04,
+    "q05_top_orders_per_customer": ORACLE_Q05,
+    "q06_top10_orders": ORACLE_Q06,
+    "q07_supplier_only_nations": ORACLE_Q07,
+    "q08_part_brand_stats": ORACLE_Q08,
+    "q09_orders_by_month": ORACLE_Q09,
+    "q10_events_json": ORACLE_Q10,
+    "q11_events_hourly": ORACLE_Q11,
+    "dd01_exact_dedup": ORACLE_DD01,
+    "dd02_ngram_jaccard": ORACLE_DD02,
+    "dd05_embedding_cosine": ORACLE_DD05,
+    "tx01_token_counts": ORACLE_TX01,
+    "tx02_quality": ORACLE_TX02,
+    "tx03_langid": _langid_oracle(),
+    "tx04_fingerprint": ORACLE_TX04,
+    "tx05_top_bigrams": ORACLE_TX05,
+    "ann01_cosine_topk": ORACLE_ANN01,
+    "mm01_decode_meta": ORACLE_MM01,
+    "mm02_frame_sample": ORACLE_MM02,
+    # dd03/dd04 (xxhash64 LSH), ann02 (literal hyperplanes), ex01/ex02
+    # (PDF kernel) are intentionally oracle-free → rows-only checks.
+}
