@@ -77,12 +77,33 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        k: int = 5) -> DataFrame:
     """num_perm minhash values per doc: min over shingles of
     xxhash64(shingle, seed_i). All codegen'd array expressions."""
-    sh = shingles(F.col(text_col), k)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+    sh = docs.select(F.col(id_col),
+                     shingles(F.col(text_col), k).alias("sh"))
+    return signatures_from_shingles(sh, id_col, num_perm)
+
+
+def signatures_from_shingles(sh: DataFrame, id_col: str = "doc_id",
+                             num_perm: int = 64) -> DataFrame:
+    """Signatures from a pre-shingled (id, sh array<string>) frame.
+
+    Two-phase on purpose: shingling is the expensive expression, and
+    inlining it into all num_perm signature lanes (what CollapseProject
+    would do from a single select) recomputes it num_perm times. Hash
+    each shingle ONCE per lane over the materialized array column.
+    """
+    lanes = [
+        F.array_min(F.transform(F.col("sh"),
+                                _hash_lane(i))).alias(f"_m{i}")
         for i in range(num_perm)
-    ])
-    return docs.select(F.col(id_col), sig.alias("signature"))
+    ]
+    return (sh.select(F.col(id_col), *lanes)
+            .select(F.col(id_col),
+                    F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
+                    .alias("signature")))
+
+
+def _hash_lane(i: int):
+    return lambda s: F.xxhash64(s, F.lit(i))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -119,12 +140,17 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
                         k: int = 5, bands: int = 16,
                         threshold: float = 0.7) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
-    jaccard verification on candidates only."""
+    jaccard verification on candidates only.
+
+    The shingle frame is computed ONCE and cached: signatures derive
+    from it (64 hash lanes over the materialized array) and the
+    verification join reuses it — no re-shingling anywhere.
+    """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_perm, k).cache()
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sh = docs.select(F.col(id_col),
-                     shingles(F.col(text_col), k).alias("sh"))
+                     shingles(F.col(text_col), k).alias("sh")).cache()
+    sigs = signatures_from_shingles(sh, id_col, num_perm)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     j = (cands
          .join(sh.withColumnRenamed(id_col, "a")
                  .withColumnRenamed("sh", "sh_a"), "a")
@@ -144,8 +170,14 @@ def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of the sum of
     token-hash bits. Pure aggregate/transform expressions (codegen)."""
-    words = F.split(F.trim(_normalize(F.col(text_col))), " ")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # two-phase: materialize token hashes once, then 64 bit-sums over
+    # the column (a single select would inline the tokenize+hash
+    # expression into all 64 aggregates)
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(F.split(F.trim(_normalize(F.col(text_col))), " "),
+                    lambda w: F.xxhash64(w)).alias("hashes"))
+    hashes = F.col("hashes")
     one = F.lit(1).cast("long")
 
     def bit_sum(i: int):
@@ -157,12 +189,17 @@ def simhash(docs: DataFrame, text_col: str = "text",
                 h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1))
 
     bit_sums = [bit_sum(i) for i in range(64)]
+    # materialize the 64 per-bit sums as columns, then OR the sign bits
+    # together in a second projection
+    summed = hashed.select(
+        F.col(id_col), *[s.alias(f"_b{i}") for i, s in enumerate(bit_sums)])
     fingerprint = None
-    for i, s in enumerate(bit_sums):
+    for i in range(64):
         # shiftleft handles bit 63 (1<<63 overflows a Java long literal)
-        bit = F.when(s > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"_b{i}") > 0,
+                     F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    return docs.select(F.col(id_col), fingerprint.alias("simhash"))
+    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",

@@ -1,10 +1,17 @@
 """The extraction operator: PDF-bytes-in-turn-rows -> extracted text.
 
 This is the Spark face of the kernel (SURVEY.md §2.6 "UDF surface"):
-ONE ``mapInPandas`` kernel processes whole Arrow batches — zero per-row
-Python<->JVM crossings (north_rule). The kernel never raises: malformed
-documents produce ``parse_error`` rows (the reference instead panics,
-src/lib.rs:68).
+ONE ``mapInArrow`` kernel processes whole Arrow record batches — zero
+per-row Python<->JVM crossings (north_rule). The kernel never raises:
+malformed documents produce ``parse_error`` rows (the reference
+instead panics, src/lib.rs:68).
+
+Why mapInArrow and not mapInPandas: the output carries a
+``spans array<struct>`` column; going through pandas means per-row
+Python tuples -> object arrays -> Arrow struct conversion, which
+measured ~6x slower than the whole parse itself. Building the nested
+column directly as (flat struct arrays + offsets) keeps the Arrow
+encode at C speed.
 
 Scale design (100 TB / 10^12 turns):
 - the operator is embarrassingly parallel per turn; no shuffle is
@@ -20,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -45,21 +52,22 @@ EXTRACT_SCHEMA = T.StructType([
     T.StructField("parse_error", T.StringType()),
 ])
 
+_SPAN_ARROW = pa.list_(pa.struct([
+    ("page", pa.int32()), ("x", pa.float64()), ("y", pa.float64()),
+    ("font", pa.string()), ("s", pa.string())]))
 
-def _extract_batches(batches: Iterator[pd.DataFrame]
-                     ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one Python call per Arrow batch. Imports are
-    inside the function so the closure pickles cheaply."""
+
+def _extract_batches(batches: Iterator[pa.RecordBatch]
+                     ) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: one Python call per Arrow batch; nested spans
+    output assembled from flat arrays + offsets (no pandas objects)."""
     from pdf_parser_spark.kernel.extract import extract_text
 
-    for pdf in batches:
-        rows = {
-            "conv_id": pdf["conv_id"],
-            "turn_idx": pdf["turn_idx"].astype("int32"),
-        }
-        texts, spans, n_pages, n_objects, nbytes, errors = \
-            [], [], [], [], [], []
-        for raw in pdf["text"]:
+    for batch in batches:
+        texts, n_pages, n_objects, nbytes, errors = [], [], [], [], []
+        sp_page, sp_x, sp_y, sp_font, sp_s = [], [], [], [], []
+        offsets = [0]
+        for raw in batch.column("text").to_pylist():
             try:
                 data = raw.encode("latin-1") if raw is not None else b""
             except UnicodeEncodeError:
@@ -71,18 +79,35 @@ def _extract_batches(batches: Iterator[pd.DataFrame]
             else:
                 res = extract_text(data)
             texts.append(res["text"])
-            spans.append(res["spans"])
             n_pages.append(res["n_pages"])
             n_objects.append(res["n_objects"])
             nbytes.append(res["bytes"])
             errors.append(res["parse_error"])
-        rows["text"] = texts
-        rows["spans"] = spans
-        rows["n_pages"] = pd.array(n_pages, dtype="int32")
-        rows["n_objects"] = pd.array(n_objects, dtype="int32")
-        rows["bytes"] = pd.array(nbytes, dtype="int64")
-        rows["parse_error"] = errors
-        yield pd.DataFrame(rows)
+            for page, x, y, font, s in res["spans"]:
+                sp_page.append(page)
+                sp_x.append(x)
+                sp_y.append(y)
+                sp_font.append(font)
+                sp_s.append(s)
+            offsets.append(len(sp_page))
+        struct = pa.StructArray.from_arrays(
+            [pa.array(sp_page, pa.int32()), pa.array(sp_x, pa.float64()),
+             pa.array(sp_y, pa.float64()), pa.array(sp_font, pa.string()),
+             pa.array(sp_s, pa.string())],
+            ["page", "x", "y", "font", "s"])
+        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         struct)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("conv_id"),
+             batch.column("turn_idx").cast(pa.int32()),
+             pa.array(texts, pa.string()),
+             spans.cast(_SPAN_ARROW),
+             pa.array(n_pages, pa.int32()),
+             pa.array(n_objects, pa.int32()),
+             pa.array(nbytes, pa.int64()),
+             pa.array(errors, pa.string())],
+            names=["conv_id", "turn_idx", "text", "spans", "n_pages",
+                   "n_objects", "bytes", "parse_error"])
 
 
 def extract_turns(turns: DataFrame, salt: int | None = None,
@@ -103,4 +128,4 @@ def extract_turns(turns: DataFrame, salt: int | None = None,
             F.xxhash64("conv_id"),
             F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)),
         )
-    return slim.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    return slim.mapInArrow(_extract_batches, schema=EXTRACT_SCHEMA)

@@ -53,22 +53,37 @@ def as_media(docs: DataFrame, text_col: str = "text",
 def _fake_decode(payload: bytes) -> dict:
     """STUB codec — deterministic arithmetic standing in for a real
     image decode. Replace with PIL/libvips on a real cluster."""
+    import numpy as np
     n = len(payload)
     return {
         "n_bytes": n,
         "width": 1 + n % 640,
         "height": 1 + (n * 31) % 480,
         "channels": 3,
-        "byte_sum": sum(payload) % 65536,
+        "byte_sum": int(np.frombuffer(payload, dtype=np.uint8)
+                        .sum(dtype=np.int64) % 65536),
         "decoder": "fake",
     }
 
 
+_PIL_CHECKED: list = []  # [module] once probed (failed imports are not
+# cached by Python — a per-row try costs a full sys.path scan each time)
+
+
+def _pil():
+    if not _PIL_CHECKED:
+        try:
+            from PIL import Image
+            _PIL_CHECKED.append(Image)
+        except ImportError:
+            _PIL_CHECKED.append(None)
+    return _PIL_CHECKED[0]
+
+
 def _try_real_decode(payload: bytes) -> dict | None:
-    """Real decoder path, gated behind import-try (absent here)."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError:
+    """Real decoder path, gated behind a one-time import probe."""
+    Image = _pil()
+    if Image is None:
         return None
     import io
     try:

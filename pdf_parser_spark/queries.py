@@ -46,6 +46,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-file table across all cores before per-row-
+    heavy expression work. At 100 TB the input arrives in thousands of
+    splits and this is a no-op decision; on a single small parquet file
+    Spark would otherwise run 64-lane minhash / 64-bit simhash / decode
+    kernels in ONE task. Costs one narrow shuffle of the slim input."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # =====================================================================
 # Relational demo layer (SURVEY.md §2.6: the categories the reference
 # lacks, supplied by Spark built-ins — filter/project, joins, agg,
@@ -116,16 +125,18 @@ GROUP BY r_name, n_name
 
 
 def q03_customers_without_orders(spark, sf_dir):
-    """Anti join (the reference's SMask exclusion shape, src/page.rs:66-71)."""
+    """Anti join (the reference's SMask exclusion shape,
+    src/page.rs:66-71): customers with no high-value order."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey", "c_name", "c_mktsegment"))
 
 
 ORACLE_Q03 = """
 SELECT c_custkey, c_name, c_mktsegment FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000)
 """
 
 
@@ -350,7 +361,7 @@ def dd03_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pipeline (xxhash64 perms → banded buckets →
     candidate join → exact-jaccard verify). No DuckDB analogue of
     Spark's xxhash64 → rows-only check."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return dedup.minhash_dedup_pairs(
         d, num_perm=64, k=NGRAM_K, bands=16,
         threshold=MINHASH_THRESHOLD).withColumn(
@@ -360,7 +371,7 @@ def dd03_minhash_lsh(spark, sf_dir):
 def dd04_simhash(spark, sf_dir):
     """SimHash near-dup candidates (64-bit sign-sum fingerprint,
     prefix-blocked Hamming verify). xxhash64-based → rows-only."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     sim = dedup.simhash(d)
     return dedup.simhash_candidates(sim, prefix_bits=8, max_hamming=12)
 
@@ -380,7 +391,7 @@ ROUND(
 
 def dd05_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by label."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     pairs = dedup.embedding_cosine_pairs(
         e, threshold=COSINE_DUP_THRESHOLD)
     return pairs.withColumn("cosine", F.round("cosine", 6))
@@ -458,7 +469,7 @@ FROM f
 
 
 def tx03_langid(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return tx.with_lang_id(d).select(
         "doc_id", "lang", "pred_lang", "pred_score", "score_en")
 
@@ -552,7 +563,7 @@ def ann02_lsh_topk(spark, sf_dir):
     """SRP-LSH bucketed ANN (scale path; literal seeded hyperplanes).
     Rows-only: the hyperplane arithmetic is not worth inlining into a
     DuckDB oracle — recall vs ann01 is asserted in tests instead."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(_t(spark, sf_dir, "embeddings"))
     return similarity.lsh_cosine_topk(e, ANN_PROBES, k=ANN_K)
 
 
@@ -564,7 +575,7 @@ def mm01_decode_meta(spark, sf_dir):
     """Binary payload plumbing + (stubbed) decode via mapInPandas.
     Deterministic fake decode → SQL-replicable metadata columns
     (byte_sum/decoder are pytest-covered, excluded here)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     media = multimodal.as_media(d)
     return multimodal.decode_meta(media).select(
         "doc_id", "modality", "n_bytes", "width", "height", "channels")

@@ -1,0 +1,119 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+The north_rule's ≥0.8 scaling-efficiency criterion from N to 4N
+executors can't use a real cluster in this sandbox; per BASELINE.md the
+proxy is the same extraction job at local[8] vs local[32] on identical
+input. Spark can't change master within one JVM, so each measurement
+runs in its own subprocess (``--cpus``); the default (no args) mode
+orchestrates both and prints the combined JSON.
+
+Usage:
+  python scripts/scaling_bench.py                  # full report
+  python scripts/scaling_bench.py --cpus 8 --convs 40000   # one level
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# fixed task granularity at both levels: same split plan, both levels
+# get many task waves (granularity must not favor either side)
+PARTITIONS = 256
+WARMUP_CONVS = 500
+
+
+def measure(cpus: int, n_convs: int) -> dict:
+    """Extraction throughput over a MATERIALIZED turns table (the
+    production shape: read stored transcripts → extract), measured as
+    the median of 3 runs after one full-size warm-up run (JIT +
+    codegen + python-worker pool dominate the first run and would
+    otherwise bias whichever level runs first)."""
+    import statistics
+    import tempfile
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.extraction import extract_turns
+    from pdf_parser_spark.session import get_spark
+    from pdf_parser_spark.sources.turns import synthetic_turns
+
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus,
+                      shuffle_partitions=cpus)
+
+    tmp = tempfile.mkdtemp(prefix=f"scaling-turns-{cpus}-")
+    data_dir = f"{tmp}/turns"
+    synthetic_turns(spark, n_convs, partitions=64) \
+        .write.mode("overwrite").parquet(data_dir)
+    turns = spark.read.parquet(data_dir)
+
+    def run() -> tuple[float, dict]:
+        obs = Observation()
+        ext = extract_turns(
+            turns.repartition(PARTITIONS)).observe(
+            obs, F.count(F.lit(1)).alias("turns"),
+            F.sum("bytes").alias("bytes"))
+        t0 = time.perf_counter()
+        ext.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0, dict(obs.get)
+
+    run()  # full-size warm-up, discarded
+    samples = [run() for _ in range(3)]
+    sec = statistics.median(s for s, _ in samples)
+    m = samples[0][1]
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_convs": n_convs,
+        "turns": int(m["turns"]),
+        "mb": round(m["bytes"] / 1e6, 2),
+        "sec": round(sec, 2),
+        "secs_all": [round(s, 2) for s, _ in samples],
+        "turns_per_sec": round(m["turns"] / sec, 1),
+        "mb_per_sec": round(m["bytes"] / 1e6 / sec, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--convs", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALE_CONVS",
+                                               "40000")))
+    args = ap.parse_args()
+
+    if args.cpus is not None:
+        print(json.dumps(measure(args.cpus, args.convs)))
+        return
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--cpus", str(cpus), "--convs", str(args.convs)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    n, n4 = results[8], results[32]
+    eff = (n4["turns_per_sec"] / n["turns_per_sec"]) / (32 / 8)
+    print(json.dumps({
+        "protocol": "same input, local[8] vs local[32], 256 fixed "
+                    "partitions, warmed sessions, separate JVMs",
+        "n": n, "4n": n4,
+        "speedup": round(n4["turns_per_sec"] / n["turns_per_sec"], 2),
+        "scaling_efficiency": round(eff, 3),
+        "criterion": "efficiency >= 0.8 (north_rule)",
+        "pass": eff >= 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()
