@@ -1,0 +1,225 @@
+"""Tests for the training-data-pipeline operators (dedup, textstats,
+similarity, multimodal) — small inline frames with hand-computed
+expectations, plus registry consistency for the driver contract."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog sat too", "en"),
+        (1, "the cat sat on the mat and the dog sat too", "en"),   # exact dup
+        (2, "the cat sat on the mat and the dog slept too", "en"),  # near dup
+        (3, "der hund und die katze und das haus und der baum", "de"),
+        (4, "completely different words entirely unrelated content here", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    from pdf_parser_spark.operators.dedup import exact_dedup
+    out = {r["doc_id"]: r["dup_count"]
+           for r in exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0,1 collapse to min id 0
+    assert 1 not in out
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_shingles_bigrams(spark, docs):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.dedup import shingles
+    sh = (docs.filter("doc_id = 0")
+          .select(shingles(F.col("text"), 2).alias("sh"))
+          .head()["sh"])
+    assert "the cat" in sh and "cat sat" in sh
+    # distinct: "the" appears 3x but each bigram is unique once
+    assert len(sh) == len(set(sh))
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from pdf_parser_spark.operators.dedup import minhash_dedup_pairs
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in minhash_dedup_pairs(docs, k=2, threshold=0.5)
+             .collect()}
+    assert pairs[(0, 1)] == 1.0         # exact dup -> jaccard 1
+    assert (0, 2) in pairs or (1, 2) in pairs   # near dup caught
+    assert all(a < b for a, b in pairs)
+    assert not any({a, b} == {3, 4} for a, b in pairs)
+
+
+def test_simhash_identical_and_distant(spark, docs):
+    from pdf_parser_spark.operators.dedup import simhash, simhash_candidates
+    sim = simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[0] == vals[1]           # identical text, identical hash
+    cands = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_candidates(sim, prefix_bits=1,
+                                         max_hamming=3).collect()}
+    assert cands.get((0, 1)) == 0
+
+
+def test_embedding_cosine_pairs(spark):
+    from pdf_parser_spark.operators.dedup import embedding_cosine_pairs
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.01, 0.0], 0),     # ~parallel to 0
+        (2, [0.0, 1.0, 0.0], 0),      # orthogonal
+        (3, [1.0, 0.0, 0.0], 1),      # parallel to 0 but other block
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in embedding_cosine_pairs(emb, threshold=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+    assert (0, 3) not in pairs          # blocked by label
+
+
+# --------------------------------------------------------------- textstats
+
+def test_token_counts(spark, docs):
+    from pdf_parser_spark.operators.textstats import with_token_counts
+    r = with_token_counts(docs).filter("doc_id = 0").head()
+    assert r["n_tokens"] == 11
+    assert r["n_bpe_units"] == 11       # pure words, no punctuation
+    assert r["n_bytes"] == len("the cat sat on the mat and the dog sat too")
+
+
+def test_quality_bounds_and_stopwords(spark, docs):
+    from pdf_parser_spark.operators.textstats import with_quality
+    rows = {r["doc_id"]: r for r in with_quality(docs).collect()}
+    for r in rows.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+    # doc 0 is stopword-heavy english; doc 3 has no english stopwords
+    assert rows[0]["stopword_ratio"] > rows[3]["stopword_ratio"]
+
+
+def test_langid(spark, docs):
+    from pdf_parser_spark.operators.textstats import with_lang_id
+    rows = {r["doc_id"]: r for r in with_lang_id(docs).collect()}
+    assert rows[0]["pred_lang"] == "en"
+    assert rows[3]["pred_lang"] == "de"
+
+
+def test_fingerprint_deterministic_and_discriminative(spark, docs):
+    from pdf_parser_spark.operators.textstats import with_fingerprint
+    a = {r["doc_id"]: r["fingerprint"]
+         for r in with_fingerprint(docs).collect()}
+    b = {r["doc_id"]: r["fingerprint"]
+         for r in with_fingerprint(docs).collect()}
+    assert a == b
+    assert a[0] == a[1]
+    assert a[0] != a[4]
+    from pdf_parser_spark.operators.textstats import FINGERPRINT_MOD
+    assert all(0 <= v < FINGERPRINT_MOD for v in a.values())
+
+
+# -------------------------------------------------------------- similarity
+
+@pytest.fixture(scope="module")
+def emb64(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 2))
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    return df, vecs
+
+
+def test_cosine_topk_matches_numpy(spark, emb64):
+    from pdf_parser_spark.operators.similarity import cosine_topk
+    df, vecs = emb64
+    out = cosine_topk(df, [0], k=3)
+    got = [(r["cand_id"], r["rank"]) for r in
+           out.orderBy("rank").collect()]
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms[0]
+    sims[0] = -np.inf                   # self excluded
+    expect = list(np.argsort(-sims)[:3])
+    assert [c for c, _ in got] == [int(e) for e in expect]
+    assert [r for _, r in got] == [1, 2, 3]
+
+
+def test_lsh_topk_recall(spark, emb64):
+    """Multi-probe SRP-LSH must recover a decent fraction of the exact
+    top-k (deterministic seeded hyperplanes -> stable assertion)."""
+    from pdf_parser_spark.operators.similarity import (
+        cosine_topk, lsh_cosine_topk,
+    )
+    df, _ = emb64
+    probes = [0, 1, 2]
+    exact = {(r["probe_id"], r["cand_id"])
+             for r in cosine_topk(df, probes, k=3).collect()}
+    approx = {(r["probe_id"], r["cand_id"])
+              for r in lsh_cosine_topk(df, probes, k=3, n_planes=4,
+                                       dim=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5
+    # every approx hit must carry the exact cosine (rerank is exact)
+    assert all(r["rank"] <= 3 for r in
+               lsh_cosine_topk(df, probes, k=3, n_planes=4,
+                               dim=8).collect())
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_decode_meta_fake_codec(spark, docs):
+    from pdf_parser_spark.operators.multimodal import as_media, decode_meta
+    media = as_media(docs)
+    rows = {r["doc_id"]: r for r in decode_meta(media).collect()}
+    text0 = "the cat sat on the mat and the dog sat too"
+    payload = text0.encode("utf-8")
+    r = rows[0]
+    assert r["n_bytes"] == len(payload)
+    assert r["width"] == 1 + len(payload) % 640
+    assert r["height"] == 1 + (len(payload) * 31) % 480
+    assert r["byte_sum"] == sum(payload) % 65536
+    assert r["decoder"] == "fake"       # no PIL in this container
+    assert r["modality"] == "image"
+
+
+def test_frame_sample_offsets(spark, docs):
+    from pdf_parser_spark.operators.multimodal import as_media, frame_sample
+    media = as_media(docs)
+    rows = frame_sample(media, stride=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    text0 = "the cat sat on the mat and the dog sat too"
+    n = len(text0.encode("utf-8"))
+    frames = sorted(r["frame_idx"] for r in by_doc[0])
+    assert frames == list(range(math.floor((n - 1) / 16) + 1))
+    assert all(r["byte_offset"] == r["frame_idx"] * 16 for r in by_doc[0])
+
+
+# ---------------------------------------------------------------- registry
+
+def test_registry_consistency():
+    import __spark_entry__ as e
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
+    # the intentionally oracle-free set is exactly the non-SQL ops
+    assert set(qs) - set(oracles) == {
+        "dd03_minhash_lsh", "dd04_simhash", "ann02_lsh_topk",
+        "ex01_extract_turns", "ex02_golden_match"}
+
+
+def test_cheap_queries_run_at_sf0001(spark):
+    from pdf_parser_spark.queries import QUERIES
+    sf = "/root/testdata/sf0.001"
+    for name in ["q01_pricing_summary", "q06_top10_orders",
+                 "dd01_exact_dedup", "tx01_token_counts",
+                 "mm02_frame_sample"]:
+        assert QUERIES[name](spark, sf).count() > 0, name
