@@ -67,9 +67,12 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: single-JVM GC/JIT noise is 2-5x
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     # extraction throughput (flagship kernel) — production shape: read
     # a materialized turns table, extract; one warm-up run discarded
