@@ -9,10 +9,17 @@ text analysis, ANN similarity, multimodal plumbing, extraction).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# the driver may import this module from any cwd
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def entry(spark: SparkSession) -> DataFrame:
