@@ -23,8 +23,9 @@ is disabled, and inline-image data (``BI..ID..EI``) is skipped.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
-from typing import Union
+from typing import NamedTuple, Union
 
 # ---------------------------------------------------------------- tokens
 
@@ -48,8 +49,10 @@ TK_STREAM_START = "stream_start"  # value = absolute offset of stream data
 TK_OP = "op"                      # content-stream operator [EXTENSION]
 
 
-@dataclass(frozen=True)
-class Token:
+class Token(NamedTuple):
+    # NamedTuple, not frozen dataclass: token creation is the hottest
+    # allocation in the kernel and object.__setattr__ per field tripled
+    # its cost (same immutable attribute API either way)
     kind: str
     value: object
     offset: int  # absolute byte offset (ref src/lexer.rs:13)
@@ -151,6 +154,17 @@ _NUMBER_CHARS = frozenset(b"0123456789+-.")
 _IRREGULAR = frozenset({0, 9, 10, 12, 13, 32}) | frozenset(b"()<>[]{}/%")
 _HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
 
+# Precompiled scanners for the hot paths (byte-identical to the
+# byte-at-a-time loops they replace):
+# whitespace {0,9,12,32} + EOLs (\r\n|\r|\n) + comments (% to EOL),
+# any interleaving, in one match
+_SKIP_RE = re.compile(rb"(?:[\x00\t\x0c ]|\r\n?|\n|%[^\r\n]*)+")
+_NUM_RE = re.compile(rb"[0-9+\-.]+")
+_REGULAR_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_REGULAR_RUN1_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+_HEX_RUN_RE = re.compile(rb"[0-9a-fA-F]*")
+_STR_SPECIAL_RE = re.compile(rb"[()\\]")
+
 
 class Lexer:
     """Single-pass COS tokenizer (ref src/lexer.rs:215-688).
@@ -211,222 +225,268 @@ class Lexer:
     # -- main loop (ref src/lexer.rs:353-688) ---------------------------
 
     def tokenize(self) -> list[Token]:
+        # Hot loop: locals hoisted (attribute lookups dominate at this
+        # call volume); `i` is the cursor, `head` the current token
+        # start. self.i / self.token_head_i sync back on every exit so
+        # error offsets and the legacy helper API stay byte-identical
+        # to the original per-byte loop.
         buf = self.buffer
         n = len(buf)
-        is_comment = False
+        so = self.start_offset
+        content_mode = self.content_mode
+        tokens = self.tokens
+        append = tokens.append
+        skip_match = _SKIP_RE.match
+        num_match = _NUM_RE.match
+        i = 0
+        head = 0
 
-        while self.token_head_i < n and self.i < n:
-            b = buf[self.i]
+        def err(kind: str) -> LexerError:
+            self.i, self.token_head_i = i, head
+            return LexerError(kind, so + head)
 
-            # EOLs end comments and are skipped (ref :356-388)
-            if b == 0x0A:
-                self.i += 1
-                is_comment = False
-                self._skip()
-                continue
-            if b == 0x0D:
-                self.i += 2 if (self.i + 1 < n and buf[self.i + 1] == 0x0A) else 1
-                is_comment = False
-                self._skip()
-                continue
-            if is_comment:
-                self.i += 1
-                self._skip()
-                continue
-            if b in _WHITESPACE:
-                self.i += 1
-                self._skip()
-                continue
-            if b == 0x25:  # '%'
-                is_comment = True
-                self.i += 1
-                self._skip()
+        while i < n:
+            b = buf[i]
+
+            # whitespace / EOLs / comments, one combined scan
+            # (ref :356-410)
+            if (b in _WHITESPACE or b == 0x0A or b == 0x0D or b == 0x25):
+                i = skip_match(buf, i).end()
+                head = i
                 continue
 
             # Integer / Real (ref :412-435)
             if b in _NUMBER_CHARS:
-                while self.i < n and buf[self.i] in _NUMBER_CHARS:
-                    self.i += 1
-                s = buf[self.token_head_i:self.i].decode("ascii")
+                i = num_match(buf, i).end()
+                s = buf[head:i]
                 try:
-                    self._confirm(TK_INT, int(s))
+                    append(Token(TK_INT, int(s), so + head))
+                    head = i
                     continue
                 except ValueError:
                     pass
                 try:
-                    self._confirm(TK_REAL, float(s))
+                    append(Token(TK_REAL, float(s), so + head))
+                    head = i
                     continue
                 except ValueError:
-                    raise self._err("ParseNumber") from None
+                    raise err("ParseNumber") from None
 
             # Name (ref :437-452)
             if b == 0x2F:  # '/'
-                self.i += 1
-                while self.i < n and buf[self.i] not in _IRREGULAR:
-                    self.i += 1
+                i = _REGULAR_RUN_RE.match(buf, i + 1).end()
                 try:
-                    name = parse_name(buf[self.token_head_i + 1:self.i])
+                    name = parse_name(buf[head + 1:i])
                 except ValueError:
-                    raise self._err("ParseName") from None
-                self._confirm(TK_NAME, name)
+                    raise err("ParseName") from None
+                append(Token(TK_NAME, name, so + head))
+                head = i
                 continue
 
             # Hex string or dict start (ref :454-487)
             if b == 0x3C:  # '<'
-                self.i += 1
-                if self.i >= n:
-                    raise self._err("FinishInObject")
-                if buf[self.i] == 0x3C:
-                    self.i += 1
-                    self._confirm(TK_DICT_START)
+                i += 1
+                if i >= n:
+                    raise err("FinishInObject")
+                if buf[i] == 0x3C:
+                    i += 1
+                    append(Token(TK_DICT_START, None, so + head))
+                    head = i
                     continue
-                while self.i < n and buf[self.i] in _HEX_DIGITS:
-                    self.i += 1
-                if self.i >= n:
-                    raise self._err("FinishInObject")
-                if buf[self.i] != 0x3E:  # '>'
-                    raise self._err("UnexpectedByte")
+                i = _HEX_RUN_RE.match(buf, i).end()
+                if i >= n:
+                    raise err("FinishInObject")
+                if buf[i] != 0x3E:  # '>'
+                    raise err("UnexpectedByte")
                 try:
-                    val = parse_hex_string(buf[self.token_head_i + 1:self.i])
+                    val = parse_hex_string(buf[head + 1:i])
                 except ValueError:
-                    raise self._err("ParseHexString") from None
-                self.i += 1
-                self._confirm(TK_HEXSTR, val)
+                    raise err("ParseHexString") from None
+                i += 1
+                append(Token(TK_HEXSTR, val, so + head))
+                head = i
                 continue
 
             # Dict end (ref :489-503)
             if b == 0x3E:  # '>'
-                self.i += 1
-                if self.i >= n or buf[self.i] != 0x3E:
-                    raise self._err("FinishInObject")
-                self.i += 1
-                self._confirm(TK_DICT_END)
+                i += 1
+                if i >= n or buf[i] != 0x3E:
+                    raise err("FinishInObject")
+                i += 1
+                append(Token(TK_DICT_END, None, so + head))
+                head = i
                 continue
 
-            # Literal string (ref :505-547)
+            # Literal string (ref :505-547): jump between delimiters
+            # with a regex instead of per-byte; escaped bytes are
+            # skipped in pairs, which is exactly the prev_backslash
+            # toggle of the original loop
             if b == 0x28:  # '('
-                self.i += 1
-                prev_backslash = False
+                j = i + 1
                 depth = 0
                 while True:
-                    if self.i >= n:
-                        raise self._err("FinishInObject")
-                    c = buf[self.i]
-                    if not prev_backslash and depth == 0 and c == 0x29:
-                        break
-                    if not prev_backslash and c == 0x28:
+                    m = _STR_SPECIAL_RE.search(buf, j)
+                    if m is None:
+                        raise err("FinishInObject")
+                    k = m.start()
+                    c = buf[k]
+                    if c == 0x5C:           # backslash: skip escaped byte
+                        j = k + 2
+                        if j > n:
+                            raise err("FinishInObject")
+                    elif c == 0x28:
                         depth += 1
-                    elif not prev_backslash and c == 0x29:
+                        j = k + 1
+                    elif depth == 0:        # closing ')'
+                        i = k
+                        break
+                    else:
                         depth -= 1
-                    prev_backslash = (not prev_backslash) and c == 0x5C
-                    self.i += 1
-                val = parse_string(buf[self.token_head_i + 1:self.i])
-                self.i += 1
-                self._confirm(TK_STR, val)
+                        j = k + 1
+                val = parse_string(buf[head + 1:i])
+                i += 1
+                append(Token(TK_STR, val, so + head))
+                head = i
                 continue
 
             # Arrays (ref :549-561)
             if b == 0x5B:  # '['
-                self.i += 1
-                self._confirm(TK_ARR_START)
+                i += 1
+                append(Token(TK_ARR_START, None, so + head))
+                head = i
                 continue
             if b == 0x5D:  # ']'
-                self.i += 1
-                self._confirm(TK_ARR_END)
+                i += 1
+                append(Token(TK_ARR_END, None, so + head))
+                head = i
                 continue
 
-            if not self.content_mode:
+            if not content_mode:
                 # Indirect reference: 'R' backtracks over the two previous
                 # integer tokens (ref :563-591, cancel_token :269-281)
                 if b == 0x52:  # 'R'
-                    gen_tok = self._cancel()
-                    obj_tok = self._cancel()
-                    if (gen_tok is not None and obj_tok is not None
-                            and gen_tok.kind == TK_INT and obj_tok.kind == TK_INT
-                            and obj_tok.value > 0 and gen_tok.value >= 0):
-                        self.i += 1
-                        self._confirm(TK_IND_REF, (obj_tok.value, gen_tok.value))
+                    if (len(tokens) >= 2 and tokens[-1].kind == TK_INT
+                            and tokens[-2].kind == TK_INT
+                            and tokens[-2].value > 0
+                            and tokens[-1].value >= 0):
+                        gen_tok = tokens.pop()
+                        obj_tok = tokens.pop()
+                        head = obj_tok.offset - so
+                        i += 1
+                        append(Token(TK_IND_REF,
+                                     (obj_tok.value, gen_tok.value),
+                                     so + head))
+                        head = i
                         continue
-                    raise self._err("InvalidIndirectRef")
+                    # match the original cancel-then-fail offset: head
+                    # moves to the earliest cancelled token (if any)
+                    if tokens:
+                        tokens.pop()
+                        if tokens:
+                            head = tokens.pop().offset - so
+                        else:
+                            head = 0
+                    else:
+                        head = 0
+                    raise err("InvalidIndirectRef")
 
                 # Indirect object start (ref :593-619)
-                if self._starts_with(b"obj"):
-                    gen_tok = self._cancel()
-                    obj_tok = self._cancel()
-                    if (gen_tok is not None and obj_tok is not None
-                            and gen_tok.kind == TK_INT and obj_tok.kind == TK_INT
-                            and obj_tok.value > 0 and gen_tok.value >= 0):
-                        self.i += 3
-                        self._confirm(TK_IND_OBJ_START,
-                                      (obj_tok.value, gen_tok.value))
+                if buf.startswith(b"obj", i):
+                    if (len(tokens) >= 2 and tokens[-1].kind == TK_INT
+                            and tokens[-2].kind == TK_INT
+                            and tokens[-2].value > 0
+                            and tokens[-1].value >= 0):
+                        gen_tok = tokens.pop()
+                        obj_tok = tokens.pop()
+                        head = obj_tok.offset - so
+                        i += 3
+                        append(Token(TK_IND_OBJ_START,
+                                     (obj_tok.value, gen_tok.value),
+                                     so + head))
+                        head = i
                         self.has_ind_obj_start = True
                         continue
-                    # ref falls through with tokens lost and then errors
-                    # with UndefinedKeyword; we error directly.
-                    raise self._err("InvalidIndirectObj")
+                    if tokens:
+                        tokens.pop()
+                        if tokens:
+                            head = tokens.pop().offset - so
+                        else:
+                            head = 0
+                    else:
+                        head = 0
+                    raise err("InvalidIndirectObj")
 
                 # endobj forces the lexer to stop (ref :621-628)
-                if self._starts_with(b"endobj"):
-                    self._expect_keyword_end(6)
-                    self.i += 6
-                    self._confirm(TK_IND_OBJ_END)
+                if buf.startswith(b"endobj", i):
+                    if i + 6 < n and buf[i + 6] not in _IRREGULAR:
+                        raise err("UndefinedKeyword")
+                    i += 6
+                    append(Token(TK_IND_OBJ_END, None, so + head))
+                    head = i
                     self.has_ind_obj_end = True
-                    return self.tokens
+                    self.i, self.token_head_i = i, head
+                    return tokens
 
                 # stream: record data offset and stop (ref :630-658).
                 # LF or CRLF required after the keyword (spec §3.2.7);
                 # bare CR rejected.
-                if self._starts_with(b"stream"):
-                    if n - (self.i + 5) < 3:
-                        raise self._err("ConfirmStream")
-                    j = self.i + 6
+                if buf.startswith(b"stream", i):
+                    if n - (i + 5) < 3:
+                        raise err("ConfirmStream")
+                    j = i + 6
                     if buf.startswith(b"\n", j):
                         data_off = j + 1
                     elif buf.startswith(b"\r\n", j):
                         data_off = j + 2
                     else:
-                        raise self._err("UnexpectedByte")
+                        raise err("UnexpectedByte")
                     # close the indirect object, then emit the stream
                     # marker (ref :645-654)
-                    self._confirm(TK_IND_OBJ_END)
+                    append(Token(TK_IND_OBJ_END, None, so + head))
                     self.has_ind_obj_end = True
-                    self.i = data_off
-                    self.tokens.append(Token(TK_STREAM_START,
-                                             self.start_offset + data_off,
-                                             self.start_offset + data_off))
-                    return self.tokens
+                    i = data_off
+                    append(Token(TK_STREAM_START, so + data_off,
+                                 so + data_off))
+                    self.i, self.token_head_i = i, i
+                    return tokens
 
             # Keyword literals (ref :660-682)
-            if self._starts_with(b"null"):
-                self._expect_keyword_end(4)
-                self.i += 4
-                self._confirm(TK_NULL)
+            if buf.startswith(b"null", i):
+                if i + 4 < n and buf[i + 4] not in _IRREGULAR:
+                    raise err("UndefinedKeyword")
+                i += 4
+                append(Token(TK_NULL, None, so + head))
+                head = i
                 continue
-            if self._starts_with(b"true"):
-                self._expect_keyword_end(4)
-                self.i += 4
-                self._confirm(TK_BOOL, True)
+            if buf.startswith(b"true", i):
+                if i + 4 < n and buf[i + 4] not in _IRREGULAR:
+                    raise err("UndefinedKeyword")
+                i += 4
+                append(Token(TK_BOOL, True, so + head))
+                head = i
                 continue
-            if self._starts_with(b"false"):
-                self._expect_keyword_end(5)
-                self.i += 5
-                self._confirm(TK_BOOL, False)
+            if buf.startswith(b"false", i):
+                if i + 5 < n and buf[i + 5] not in _IRREGULAR:
+                    raise err("UndefinedKeyword")
+                i += 5
+                append(Token(TK_BOOL, False, so + head))
+                head = i
                 continue
 
-            if self.content_mode:
+            if content_mode:
                 # [EXTENSION] content-stream operator: a run of regular
                 # chars (PDF 32000-1 §7.8.2). Includes 'R'-initial ops
                 # like RG, and obj-like runs.
-                start = self.i
-                while self.i < n and buf[self.i] not in _IRREGULAR:
-                    self.i += 1
-                if self.i == start:
-                    raise self._err("UndefinedKeyword")
-                op = buf[start:self.i].decode("latin-1")
+                m = _REGULAR_RUN1_RE.match(buf, i)
+                if m is None:
+                    raise err("UndefinedKeyword")
+                start = i
+                i = m.end()
+                op = buf[start:i].decode("latin-1")
                 if op == "ID":
                     # inline image data follows until 'EI' delimiter;
                     # skip it entirely (PDF 32000-1 §8.9.7)
-                    k = buf.find(b"EI", self.i)
+                    k = buf.find(b"EI", i)
                     while k != -1:
                         before_ws = k == 0 or buf[k - 1] in _IRREGULAR
                         after_ws = (k + 2 >= n) or (buf[k + 2] in _IRREGULAR)
@@ -434,16 +494,18 @@ class Lexer:
                             break
                         k = buf.find(b"EI", k + 1)
                     if k == -1:
-                        raise self._err("UnterminatedInlineImage")
-                    self.i = k + 2
-                    self._skip()
+                        raise err("UnterminatedInlineImage")
+                    i = k + 2
+                    head = i
                     continue
-                self._confirm(TK_OP, op)
+                append(Token(TK_OP, op, so + start))
+                head = i
                 continue
 
-            raise self._err("UndefinedKeyword")
+            raise err("UndefinedKeyword")
 
-        return self.tokens
+        self.i, self.token_head_i = i, head
+        return tokens
 
 
 def tokenize(buffer: bytes, start_offset: int = 0,
