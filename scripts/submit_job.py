@@ -33,6 +33,9 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from pdf_parser_spark.pipeline.job import ExtractionJob
+    from pdf_parser_spark.sources.table import (
+        current_snapshot_id, load_table,
+    )
 
     # on a cluster spark-submit supplies master/conf; standalone runs
     # fall back to the tuned local session
@@ -44,12 +47,13 @@ def main() -> None:
             from pdf_parser_spark.session import get_spark
             spark = get_spark("extract-submit")
 
-    turns = spark.read.parquet(args.input)
+    turns = load_table(spark, args.input)
+    snapshot = (args.snapshot_id if args.snapshot_id != "static"
+                else current_snapshot_id(spark, args.input))
     job = ExtractionJob(spark, args.output, args.lineage,
                         n_buckets=args.n_buckets, salt=args.salt,
                         partitions=args.partitions)
-    metrics = job.run(turns, run_id=args.run_id,
-                      snapshot_id=args.snapshot_id)
+    metrics = job.run(turns, run_id=args.run_id, snapshot_id=snapshot)
     print(json.dumps(metrics))
 
 
