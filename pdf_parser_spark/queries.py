@@ -645,6 +645,46 @@ def ex02_golden_match(spark, sf_dir):
         .alias("parse_failures"))
 
 
+def ex03_html_extract(spark, sf_dir):
+    """HTML main-content extraction (north_rule: boilerplate strip /
+    DOM heuristics) over a deterministic synthetic HTML transcript
+    corpus, joined against per-turn goldens. Rows-only (stdlib
+    html.parser kernel is not SQL-expressible)."""
+    from pdf_parser_spark.operators.html_extract import extract_html_turns
+    from pdf_parser_spark.sources.html_turns import html_golden, html_turns
+
+    turns = html_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    golden = (html_golden(spark, EXTRACT_N_CONVS, partitions=8)
+              .withColumnRenamed("text", "golden_text")
+              .withColumnRenamed("title", "golden_title"))
+    out = extract_html_turns(turns)
+    j = out.join(golden, ["conv_id", "turn_idx"])
+    return j.agg(
+        F.count(F.lit(1)).alias("total_turns"),
+        F.sum(F.when((F.col("text") == F.col("golden_text"))
+                     & (F.col("title") == F.col("golden_title")), 1)
+              .otherwise(0)).alias("matched"),
+        F.sum("n_chrome_blocks").alias("chrome_blocks_stripped"))
+
+
+def ex04_conversation_rollup(spark, sf_dir):
+    """Stable-turn-order conversation assembly: extracted turn texts
+    concatenated per conversation in (conv_id, turn_idx) order — the
+    north_rule's 'stable turn ordering' as a visible operator
+    (sort_array over collected structs = order-stable under any
+    partitioning). Rows-only."""
+    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    ext = extract_turns(turns)
+    ordered = F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
+    return (ext.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.length(F.array_join(
+                     F.transform(ordered, lambda s: s["text"]), "\n"))
+                 .alias("conv_text_len"),
+                 F.sum(F.when(F.col("parse_error").isNotNull(), 1)
+                       .otherwise(0)).alias("parse_failures")))
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -677,6 +717,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm02_frame_sample": mm02_frame_sample,
     "ex01_extract_turns": ex01_extract_turns,
     "ex02_golden_match": ex02_golden_match,
+    "ex03_html_extract": ex03_html_extract,
+    "ex04_conversation_rollup": ex04_conversation_rollup,
 }
 
 ORACLES: dict[str, str] = {
