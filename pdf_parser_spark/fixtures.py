@@ -411,6 +411,39 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def pdf_large():
+    """Realistic-size document: 20 pages x 40 Flate-compressed text
+    lines (~25 KB) so throughput benchmarks measure parsing, not
+    per-document overhead. Deterministic content."""
+    b = PdfBuilder()
+    n_pages = 20
+    n_lines = 40
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    kids = b" ".join(b"%d 0 R" % (10 + i) for i in range(n_pages))
+    b.add(2, b"<</Type /Pages /Kids [" + kids + b"] /Count "
+             + str(n_pages).encode()
+             + b" /MediaBox [0 0 612 792]"
+             + b" /Resources <</Font <</F1 3 0 R>>>>>>")
+    b.add(3, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")
+    texts = []
+    for i in range(n_pages):
+        ops = [b"BT /F1 10 Tf 72 760 Td"]
+        for j in range(n_lines):
+            line = "page %02d line %02d: the quick brown fox %04d" % (
+                i + 1, j, (i * 131 + j * 17) % 9973)
+            ops.append(lit(line) + b" Tj 0 -18 Td")
+            texts.append(line)
+        ops.append(b"ET")
+        content = b" ".join(ops)
+        b.add_stream(100 + i, b" /Filter /FlateDecode",
+                     zlib.compress(content))
+        b.add(10 + i, b"<</Type /Page /Parent 2 0 R /Contents "
+                      + str(100 + i).encode() + b" 0 R>>")
+    golden = "\n".join(texts)
+    return b.build(), {"text": golden, "n_pages": n_pages,
+                       "n_spans": n_pages * n_lines}
+
+
 def pdf_broken_header():
     pdf, _ = pdf_min_text()
     return b"%NOT-A-PDF" + pdf[8:], {"error": True}
@@ -444,6 +477,7 @@ FIXTURES = {
     "pdf-objstm": pdf_objstm,
     "pdf-incremental": pdf_incremental,
     "pdf-lzw-text": pdf_lzw_text,
+    "pdf-large": pdf_large,
 }
 
 BROKEN_FIXTURES = {

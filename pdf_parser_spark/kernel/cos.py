@@ -90,6 +90,8 @@ def parse_string(buf: bytes) -> bytes:
     Deviation from the reference: ``\\t`` -> 0x09 (spec-correct), not the
     reference's 0x0B (src/lexer.rs:135, SURVEY.md §2.7.1).
     """
+    if 0x5C not in buf:  # no backslash -> no escapes -> identity
+        return bytes(buf)
     out = bytearray()
     i = 0
     n = len(buf)

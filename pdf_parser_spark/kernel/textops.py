@@ -175,10 +175,25 @@ class FontInfo:
     code_bytes: int = 1             # 1 for simple fonts, 2 for Identity-H
     to_unicode: dict[int, str] | None = None
     differences: dict[int, str] | None = None  # code -> unicode
+    _tbl: dict[int, str] | None = None  # cached translate table (1-byte)
 
     def decode(self, raw: bytes) -> str:
         """Shown-string bytes -> unicode (§9.10.2 priority: ToUnicode,
         then Encoding/Differences, then latin-1 passthrough)."""
+        if self.code_bytes == 1:
+            # fast path: latin-1 decode == chr(code) for every byte;
+            # remaps (Differences overridden by ToUnicode, matching the
+            # per-code priority below) applied via str.translate
+            tbl = self._tbl
+            if tbl is None:
+                tbl = {}
+                if self.differences:
+                    tbl.update(self.differences)
+                if self.to_unicode:
+                    tbl.update(self.to_unicode)
+                self._tbl = tbl
+            text = raw.decode("latin-1")
+            return text.translate(tbl) if tbl else text
         out = []
         step = self.code_bytes
         for i in range(0, len(raw), step):

@@ -88,7 +88,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--convs", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_SCALE_CONVS",
-                                               "60000")))
+                                               "30000")))
     args = ap.parse_args()
 
     if args.cpus is not None:
