@@ -744,6 +744,8 @@ ORACLES: dict[str, str] = {
     "ann01_cosine_topk": ORACLE_ANN01,
     "mm01_decode_meta": ORACLE_MM01,
     "mm02_frame_sample": ORACLE_MM02,
-    # dd03/dd04 (xxhash64 LSH), ann02 (literal hyperplanes), ex01/ex02
-    # (PDF kernel) are intentionally oracle-free → rows-only checks.
+    # dd03/dd04 (xxhash64 LSH), ann02 (literal hyperplanes), and
+    # ex01-ex04 (PDF/HTML kernels) are intentionally oracle-free →
+    # rows-only checks; their correctness gates live in tests/
+    # (golden parity, LSH recall, rollup invariants).
 }
