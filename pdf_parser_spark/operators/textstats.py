@@ -124,20 +124,22 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.filter(toks, lambda t: t.isin(*sw))).cast("double")
             / n_tok).otherwise(0.0)
 
-    scores = {lang: hit_ratio(sw) for lang, sw in sorted(STOPWORDS.items())}
-    best = None
-    best_score = None
-    for lang, sc in scores.items():  # ascending lang order => ties keep first
-        if best is None:
-            best, best_score = F.lit(lang), sc
-        else:
-            take_new = sc > best_score
-            best = F.when(take_new, F.lit(lang)).otherwise(best)
-            best_score = F.when(take_new, sc).otherwise(best_score)
-    out = docs
-    for lang, sc in scores.items():
-        out = out.withColumn(f"score_{lang}", F.round(sc, 6))
-    return out.withColumns({
+    langs = sorted(STOPWORDS)
+    # two-phase: materialize each score ONCE as a column, then argmax
+    # over column references — a single-select when-chain would inline
+    # every tokenize+filter tree 2^k times into pred_score
+    scored = docs.withColumns({
+        f"score_{lang}": F.round(hit_ratio(STOPWORDS[lang]), 6)
+        for lang in langs
+    })
+    best = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:  # ascending lang order => ties keep first
+        sc = F.col(f"score_{lang}")
+        take_new = sc > best_score
+        best = F.when(take_new, F.lit(lang)).otherwise(best)
+        best_score = F.when(take_new, sc).otherwise(best_score)
+    return scored.withColumns({
         "pred_lang": best,
         "pred_score": F.round(best_score, 6),
     })
