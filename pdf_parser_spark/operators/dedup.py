@@ -229,7 +229,15 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
     """Near-dup by cosine similarity. Blocking column bounds the join
     (at scale: replace with LSH buckets over random hyperplanes); the
     dot/norms are F.aggregate/F.zip_with — JVM-side, no UDF."""
+    # norms precomputed per VECTOR (N folds), not per pair (N^2):
+    # same fold order as computing them inside the join, so the cosine
+    # values are bit-identical — only the plan changes
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
     v = emb.select(F.col(id_col), F.col(vec_col).alias("v"),
+                   norm.alias("nrm"),
                    *( [F.col(block_col)] if block_col else [] ))
     a = v.alias("a")
     b = v.alias("b")
@@ -240,10 +248,7 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
         F.zip_with(F.col("a.v"), F.col("b.v"),
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (a.join(b, cond)
             .withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)

@@ -60,16 +60,20 @@ def cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
     then a window partitioned by probe (small: P×N rows shuffled on
     probe_id, bounded by P × corpus). Self-matches excluded.
     """
+    # norms computed once per row BEFORE the join (same fold order →
+    # bit-identical cosine, N instead of P×N norm folds)
     probes = (emb.filter(F.col(id_col).isin(probe_ids))
               .select(F.col(id_col).alias("probe_id"),
-                      F.col(vec_col).alias("probe_vec")))
+                      F.col(vec_col).alias("probe_vec"),
+                      _norm(F.col(vec_col)).alias("probe_nrm")))
     corpus = emb.select(F.col(id_col).alias("cand_id"),
-                        F.col(vec_col).alias("cand_vec"))
+                        F.col(vec_col).alias("cand_vec"),
+                        _norm(F.col(vec_col)).alias("cand_nrm"))
     scored = (F.broadcast(probes).crossJoin(corpus)
               .filter(F.col("probe_id") != F.col("cand_id"))
-              .withColumn("cosine",
-                          F.round(cosine(F.col("probe_vec"),
-                                         F.col("cand_vec")), 6)))
+              .withColumn("cosine", F.round(
+                  _dot(F.col("probe_vec"), F.col("cand_vec"))
+                  / (F.col("probe_nrm") * F.col("cand_nrm")), 6)))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc())
     return (scored
@@ -114,26 +118,31 @@ def lsh_cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
     bucketed = emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
+        _norm(F.col(vec_col)).alias("cand_nrm"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"))
     probes = (emb.filter(F.col(id_col).isin(probe_ids))
               .select(F.col(id_col).alias("probe_id"),
                       F.col(vec_col).alias("probe_vec"),
+                      _norm(F.col(vec_col)).alias("probe_nrm"),
                       srp_bucket(F.col(vec_col), planes).alias("pbucket")))
     if multiprobe_hamming1:
         flips = F.array(*([F.col("pbucket")] +
                           [F.col("pbucket").bitwiseXOR(F.lit(1 << i))
                            for i in range(n_planes)]))
-        probes = probes.select("probe_id", "probe_vec",
+        probes = probes.select("probe_id", "probe_vec", "probe_nrm",
                                F.explode(flips).alias("bucket"))
     else:
         probes = probes.withColumnRenamed("pbucket", "bucket")
     cands = (F.broadcast(probes)
              .join(bucketed, "bucket")
              .filter(F.col("probe_id") != F.col("cand_id"))
-             .select("probe_id", "probe_vec", "cand_id", "cand_vec")
+             .select("probe_id", "probe_vec", "probe_nrm",
+                     "cand_id", "cand_vec", "cand_nrm")
              .dropDuplicates(["probe_id", "cand_id"]))
     scored = cands.withColumn(
-        "cosine", F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), 6))
+        "cosine", F.round(
+            _dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("probe_nrm") * F.col("cand_nrm")), 6))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
