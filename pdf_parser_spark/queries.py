@@ -298,6 +298,35 @@ FROM events GROUP BY 1, 2
 # Dedup family (documents corpus)
 # =====================================================================
 
+def q12_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream (batch face of the
+    applyInPandasWithState operator in streaming/sessionize.py — the
+    stream==batch equivalence is asserted in tests/test_sessionize.py).
+    Window lag + running sum of gap breaks; tie-order-invariant."""
+    from pdf_parser_spark.streaming.sessionize import sessionize_batch
+    e = _t(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_s=3600)
+
+
+ORACLE_Q12 = """
+WITH b AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NOT NULL
+                   AND ts >= lag(ts) OVER w + INTERVAL 3600 SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM b)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT)
+         AS value_milli
+FROM s GROUP BY user_id, session_no
+"""
+
+
 def dd01_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
@@ -701,6 +730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q09_orders_by_month": q09_orders_by_month,
     "q10_events_json": q10_events_json,
     "q11_events_hourly": q11_events_hourly,
+    "q12_sessionize": q12_sessionize,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
@@ -733,6 +763,7 @@ ORACLES: dict[str, str] = {
     "q09_orders_by_month": ORACLE_Q09,
     "q10_events_json": ORACLE_Q10,
     "q11_events_hourly": ORACLE_Q11,
+    "q12_sessionize": ORACLE_Q12,
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,
