@@ -294,6 +294,89 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q13_rollup_revenue(spark, sf_dir):
+    """Grouping sets: ROLLUP over (region, nation) with subtotal and
+    grand-total rows (SURVEY §2.6: absent in the reference, supplied by
+    Spark built-ins)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 .alias("revenue_c"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+ORACLE_Q13 = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS revenue_c,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q14_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type, computed over
+    integer milli-units so both engines interpolate between identical
+    integers (continuous-quantile semantics match)."""
+    e = _t(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1000).cast("long")
+    return (e.withColumn("vm", vm)
+            .groupBy("event_type")
+            .agg(F.round(F.expr("percentile(vm, 0.5D)"), 6)
+                 .alias("p50_milli"),
+                 F.round(F.expr("percentile(vm, 0.9D)"), 6)
+                 .alias("p90_milli"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+ORACLE_Q14 = """
+SELECT event_type,
+       ROUND(quantile_cont(CAST(ROUND(value*1000) AS BIGINT), 0.5), 6)
+         AS p50_milli,
+       ROUND(quantile_cont(CAST(ROUND(value*1000) AS BIGINT), 0.9), 6)
+         AS p90_milli,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q15_orders_above_cust_avg(spark, sf_dir):
+    """Correlated-aggregate shape: orders strictly above their own
+    customer's average order value. The per-customer average is an
+    exact integer-cents sum / count division — identical in both
+    engines, so the > boundary is deterministic."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_c", F.round(F.col("o_totalprice") * 100).cast("long"))
+    avgs = (o.groupBy("o_custkey")
+            .agg((F.sum("price_c") / F.count(F.lit(1))).alias("avg_c"))
+            .withColumnRenamed("o_custkey", "ck"))
+    return (o.join(F.broadcast(avgs), o.o_custkey == avgs.ck)
+            .filter(F.col("price_c") > F.col("avg_c"))
+            .select("o_orderkey", "o_custkey", "price_c"))
+
+
+ORACLE_Q15 = """
+WITH p AS (SELECT o_orderkey, o_custkey,
+                  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+           FROM orders),
+a AS (SELECT o_custkey AS ck,
+             CAST(SUM(price_c) AS BIGINT) / COUNT(*)::DOUBLE AS avg_c
+      FROM p GROUP BY o_custkey)
+SELECT o_orderkey, o_custkey, price_c
+FROM p JOIN a ON o_custkey = ck WHERE price_c > avg_c
+"""
+
+
 # =====================================================================
 # Dedup family (documents corpus)
 # =====================================================================
@@ -731,6 +814,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_events_json": q10_events_json,
     "q11_events_hourly": q11_events_hourly,
     "q12_sessionize": q12_sessionize,
+    "q13_rollup_revenue": q13_rollup_revenue,
+    "q14_value_percentiles": q14_value_percentiles,
+    "q15_orders_above_cust_avg": q15_orders_above_cust_avg,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
@@ -764,6 +850,9 @@ ORACLES: dict[str, str] = {
     "q10_events_json": ORACLE_Q10,
     "q11_events_hourly": ORACLE_Q11,
     "q12_sessionize": ORACLE_Q12,
+    "q13_rollup_revenue": ORACLE_Q13,
+    "q14_value_percentiles": ORACLE_Q14,
+    "q15_orders_above_cust_avg": ORACLE_Q15,
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,
