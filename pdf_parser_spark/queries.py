@@ -646,6 +646,68 @@ GROUP BY bigram ORDER BY doc_freq DESC, bigram ASC LIMIT 20
 """
 
 
+def tx06_sha256(spark, sf_dir):
+    """Scalar pandas UDF (Arrow-vectorized, the golden-compare-hash
+    shape from SURVEY §2.6 'UDF surface'): sha256 of each document."""
+    from pdf_parser_spark.functions import sha256_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", sha256_udf("text").alias("sha256"))
+
+
+ORACLE_TX06 = """
+SELECT doc_id, sha256(text) AS sha256 FROM documents
+"""
+
+
+def tx07_weighted_quality(spark, sf_dir):
+    """Grouped-aggregate pandas UDAF: per language, the length-weighted
+    mean quality score. Computed over integer milli-units inside the
+    UDAF so the DuckDB oracle reproduces it exactly (single division at
+    the end)."""
+    from pdf_parser_spark.functions import weighted_quality_udaf
+
+    d = tx.with_quality(_t(spark, sf_dir, "documents"))
+    return (d.withColumn("q_milli",
+                         F.round(F.col("quality_score") * 1000)
+                         .cast("long"))
+            .withColumn("w", F.col("n_tokens").cast("long"))
+            .groupBy("lang")
+            .agg(weighted_quality_udaf("q_milli", "w")
+                 .alias("weighted_quality")))
+
+
+# oracle recomputes quality_score exactly as ORACLE_TX02 then the same
+# integer-weighted mean
+ORACLE_TX07 = """
+WITH t AS (
+  SELECT doc_id, lang, {toks} AS toks, length(text) AS n_chr,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '',
+                                              'g')) AS n_punct
+  FROM documents),
+f AS (
+  SELECT doc_id, lang, len(toks) AS n_tok, n_chr, n_punct,
+         len(list_filter(toks, w -> w IN ({sw}))) AS n_stop
+  FROM t),
+q AS (
+  SELECT doc_id, lang, n_tok,
+    CAST(ROUND(ROUND(GREATEST(0.0, LEAST(1.0,
+      0.4 * LEAST(n_tok::DOUBLE / 50.0, 1.0)
+      + 0.3 * LEAST((CASE WHEN n_tok > 0
+                     THEN n_stop::DOUBLE / n_tok ELSE 0.0 END) * 10, 1.0)
+      + 0.3 * (1.0 - LEAST((CASE WHEN n_chr > 0
+                            THEN n_punct::DOUBLE / n_chr
+                            ELSE 0.0 END) * 4, 1.0)))), 6) * 1000)
+      AS BIGINT) AS q_milli
+  FROM f)
+SELECT lang,
+       ROUND(CAST(SUM(q_milli * n_tok) AS BIGINT)
+             / CAST(SUM(n_tok) AS BIGINT)::DOUBLE / 1000.0, 6)
+         AS weighted_quality
+FROM q GROUP BY lang
+"""
+
+
 # =====================================================================
 # Similarity search family
 # =====================================================================
@@ -827,6 +889,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx03_langid": tx03_langid,
     "tx04_fingerprint": tx04_fingerprint,
     "tx05_top_bigrams": tx05_top_bigrams,
+    "tx06_sha256": tx06_sha256,
+    "tx07_weighted_quality": tx07_weighted_quality,
     "ann01_cosine_topk": ann01_cosine_topk,
     "ann02_lsh_topk": ann02_lsh_topk,
     "mm01_decode_meta": mm01_decode_meta,
@@ -861,6 +925,9 @@ ORACLES: dict[str, str] = {
     "tx03_langid": _langid_oracle(),
     "tx04_fingerprint": ORACLE_TX04,
     "tx05_top_bigrams": ORACLE_TX05,
+    "tx06_sha256": ORACLE_TX06,
+    "tx07_weighted_quality": ORACLE_TX07.format(
+        toks=_TOKS_SQL, sw=_EN_SW),
     "ann01_cosine_topk": ORACLE_ANN01,
     "mm01_decode_meta": ORACLE_MM01,
     "mm02_frame_sample": ORACLE_MM02,
