@@ -88,13 +88,17 @@ def main() -> None:
     from pdf_parser_spark.operators.extraction import extract_turns
     from pdf_parser_spark.sources.turns import synthetic_turns
 
+    # input materialized into cpus*2 splits; extraction reads them
+    # directly — no repartition (a forced shuffle of the PDF payloads
+    # measured 2x the extraction itself; production tables arrive in
+    # thousands of splits, and salting stays opt-in for skew)
     data_dir = tempfile.mkdtemp(prefix="bench-turns-") + "/turns"
-    synthetic_turns(spark, n_convs, partitions=64) \
+    synthetic_turns(spark, n_convs, partitions=cpus * 2) \
         .write.mode("overwrite").parquet(data_dir)
     turns = spark.read.parquet(data_dir)
-    force(extract_turns(turns.repartition(cpus * 8)))  # warm-up
+    force(extract_turns(turns))  # warm-up
     obs = Observation("bench")
-    ext = extract_turns(turns.repartition(cpus * 8)).observe(
+    ext = extract_turns(turns).observe(
         obs, F.count(F.lit(1)).alias("turns"),
         F.sum("bytes").alias("bytes"))
     t0 = time.perf_counter()

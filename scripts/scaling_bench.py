@@ -50,14 +50,17 @@ def measure(cpus: int, n_convs: int) -> dict:
 
     tmp = tempfile.mkdtemp(prefix=f"scaling-turns-{cpus}-")
     data_dir = f"{tmp}/turns"
-    synthetic_turns(spark, n_convs, partitions=64) \
+    # input written as PARTITIONS splits -> both levels read the
+    # identical split plan directly, no shuffle in the measured job
+    # (the production shape; a forced repartition of the PDF payloads
+    # costs as much as the extraction itself)
+    synthetic_turns(spark, n_convs, partitions=PARTITIONS) \
         .write.mode("overwrite").parquet(data_dir)
     turns = spark.read.parquet(data_dir)
 
     def run() -> tuple[float, dict]:
         obs = Observation()
-        ext = extract_turns(
-            turns.repartition(PARTITIONS)).observe(
+        ext = extract_turns(turns).observe(
             obs, F.count(F.lit(1)).alias("turns"),
             F.sum("bytes").alias("bytes"))
         t0 = time.perf_counter()
