@@ -439,8 +439,15 @@ _SH_SQL = """
 
 
 def dd02_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs, blocked by lang (bounded
-    quadratic per block; at scale the block key is an LSH bucket)."""
+    """Exact n-gram Jaccard near-dup pairs, blocked by lang.
+
+    Deliberately the EXACT quadratic-per-block variant: it exists to be
+    oracle-checkable cell-for-cell against DuckDB at sf0.01 and as the
+    verification semantics for dd03. It is NOT the scale path — at
+    sf0.1+ the pair join is minutes-to-hours by construction; dd03
+    (MinHash+LSH with exact-jaccard verify on candidates only) is the
+    operator you run at 100 TB, and it is the one in bench.py.
+    """
     d = _t(spark, sf_dir, "documents")
     sh = d.select("doc_id", "lang",
                   dedup.shingles(F.col("text"), NGRAM_K).alias("sh"))
