@@ -110,6 +110,70 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]
                    "n_objects", "bytes", "parse_error"])
 
 
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("colorspace", T.StringType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("data", T.BinaryType()),
+])
+
+
+def _extract_image_batches(batches: Iterator[pa.RecordBatch]
+                           ) -> Iterator[pa.RecordBatch]:
+    """UDTF-shaped kernel: one input turn row → 0..N image rows (the
+    reference's PDF::extract_image surface, src/lib.rs:60-72; order
+    made deterministic by object number, SURVEY §2.7.4)."""
+    from pdf_parser_spark.kernel.extract import extract_text
+
+    for batch in batches:
+        conv, tix = [], []
+        pages, names, widths, heights, spaces, fmts, datas = \
+            [], [], [], [], [], [], []
+        for cid, t, raw in zip(batch.column("conv_id").to_pylist(),
+                               batch.column("turn_idx").to_pylist(),
+                               batch.column("text").to_pylist()):
+            try:
+                data = raw.encode("latin-1") if raw is not None else b""
+            except UnicodeEncodeError:
+                data = b""
+            res = extract_text(data, with_images=True) if data else \
+                {"images": []}
+            for img in res.get("images", []):
+                conv.append(cid)
+                tix.append(t)
+                pages.append(img["page"])
+                names.append(img["name"])
+                widths.append(img["width"])
+                heights.append(img["height"])
+                spaces.append(img["colorspace"])
+                fmts.append(img["format"])
+                datas.append(img["data"])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(conv, pa.string()),
+             pa.array(tix, pa.int32()),
+             pa.array(pages, pa.int32()),
+             pa.array(names, pa.string()),
+             pa.array(widths, pa.int32()),
+             pa.array(heights, pa.int32()),
+             pa.array(spaces, pa.string()),
+             pa.array(fmts, pa.string()),
+             pa.array(datas, pa.binary())],
+            names=["conv_id", "turn_idx", "page", "name", "width",
+                   "height", "colorspace", "format", "data"])
+
+
+def extract_images(turns: DataFrame) -> DataFrame:
+    """Image extraction (one row per image — explode semantics done in
+    the kernel). Same scale properties as extract_turns."""
+    slim = turns.select("conv_id", "turn_idx", "text")
+    return slim.mapInArrow(_extract_image_batches, schema=IMAGE_SCHEMA)
+
+
 def extract_turns(turns: DataFrame, salt: int | None = None,
                   partitions: int | None = None) -> DataFrame:
     """Run the extraction kernel over a turns DataFrame.

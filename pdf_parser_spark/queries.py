@@ -377,6 +377,82 @@ FROM p JOIN a ON o_custkey = ck WHERE price_c > avg_c
 """
 
 
+def q16_customer_order_counts(spark, sf_dir):
+    """LEFT OUTER join: every customer with their order count/revenue,
+    zero-filled for customers with no orders (null-completing join —
+    the remaining join flavor after inner/broadcast/semi/anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy("o_custkey")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .alias("rev")))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+            .select("c_custkey", "c_mktsegment",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+                    F.coalesce(F.col("rev"), F.lit(0))
+                    .alias("revenue_c")))
+
+
+ORACLE_Q16 = """
+SELECT c_custkey, c_mktsegment,
+       COALESCE(n, 0) AS n_orders, COALESCE(rev, 0) AS revenue_c
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+"""
+
+
+def q17_distinct_stats(spark, sf_dir):
+    """DISTINCT aggregation: exact count-distinct per nation."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_nationkey")
+            .agg(F.countDistinct("c_mktsegment").alias("n_segments"),
+                 F.countDistinct("c_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+ORACLE_Q17 = """
+SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
+       COUNT(DISTINCT c_custkey) AS n_customers, COUNT(*) AS n_rows
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def q18_account_union(spark, sf_dir):
+    """UNION ALL of two differently-shaped sides (customer + supplier
+    balances) with a source tag, aggregated per (source, nation)."""
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.lit("customer").alias("src"),
+                 F.col("c_nationkey").alias("nationkey"),
+                 F.round(F.col("c_acctbal") * 100).cast("long")
+                 .alias("bal_c")))
+    su = (_t(spark, sf_dir, "supplier")
+          .select(F.lit("supplier").alias("src"),
+                  F.col("s_nationkey").alias("nationkey"),
+                  F.round(F.col("s_acctbal") * 100).cast("long")
+                  .alias("bal_c")))
+    return (c.unionByName(su)
+            .groupBy("src", "nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("bal_c").alias("total_bal_c")))
+
+
+ORACLE_Q18 = """
+SELECT src, nationkey, COUNT(*) AS n,
+       CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+FROM (
+  SELECT 'customer' AS src, c_nationkey AS nationkey,
+         CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c FROM customer
+  UNION ALL
+  SELECT 'supplier', s_nationkey,
+         CAST(ROUND(s_acctbal*100) AS BIGINT) FROM supplier)
+GROUP BY src, nationkey
+"""
+
+
 # =====================================================================
 # Dedup family (documents corpus)
 # =====================================================================
@@ -866,6 +942,20 @@ def ex04_conversation_rollup(spark, sf_dir):
                        .otherwise(0)).alias("parse_failures")))
 
 
+def ex05_extract_images(spark, sf_dir):
+    """Image extraction (the reference's actual public API surface,
+    src/lib.rs:60-72): one row per decoded XObject image with
+    dimensions/colorspace/format. Rows-only; pixel parity is asserted
+    in tests/test_extract_pdfs.py."""
+    from pdf_parser_spark.operators.extraction import extract_images
+
+    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    return (extract_images(turns)
+            .select("conv_id", "turn_idx", "page", "name", "width",
+                    "height", "colorspace", "format",
+                    F.octet_length("data").alias("n_bytes")))
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -886,6 +976,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_rollup_revenue": q13_rollup_revenue,
     "q14_value_percentiles": q14_value_percentiles,
     "q15_orders_above_cust_avg": q15_orders_above_cust_avg,
+    "q16_customer_order_counts": q16_customer_order_counts,
+    "q17_distinct_stats": q17_distinct_stats,
+    "q18_account_union": q18_account_union,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
@@ -906,6 +999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ex02_golden_match": ex02_golden_match,
     "ex03_html_extract": ex03_html_extract,
     "ex04_conversation_rollup": ex04_conversation_rollup,
+    "ex05_extract_images": ex05_extract_images,
 }
 
 ORACLES: dict[str, str] = {
@@ -924,6 +1018,9 @@ ORACLES: dict[str, str] = {
     "q13_rollup_revenue": ORACLE_Q13,
     "q14_value_percentiles": ORACLE_Q14,
     "q15_orders_above_cust_avg": ORACLE_Q15,
+    "q16_customer_order_counts": ORACLE_Q16,
+    "q17_distinct_stats": ORACLE_Q17,
+    "q18_account_union": ORACLE_Q18,
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,

@@ -214,7 +214,8 @@ def test_registry_consistency():
     assert set(qs) - set(oracles) == {
         "dd03_minhash_lsh", "dd04_simhash", "ann02_lsh_topk",
         "ex01_extract_turns", "ex02_golden_match",
-        "ex03_html_extract", "ex04_conversation_rollup"}
+        "ex03_html_extract", "ex04_conversation_rollup",
+        "ex05_extract_images"}
 
 
 def test_cheap_queries_run_at_sf0001(spark):
