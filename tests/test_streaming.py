@@ -77,3 +77,31 @@ def test_windowed_event_counts_stream_equals_batch(spark, tmp_path):
     # emitted windows must match the batch result exactly
     assert got <= expected
     assert len(got) > 0
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join: the extraction stream enriched against a
+    static golden dimension — per-turn parity checked in-flight."""
+    from pdf_parser_spark.sources.turns import golden_turns, synthetic_turns
+    from pdf_parser_spark.streaming import extract_stream
+
+    input_dir = str(tmp_path / "turns")
+    synthetic_turns(spark, 15).write.mode("append").parquet(input_dir)
+    static_golden = (golden_turns(spark, 15)
+                     .withColumnRenamed("text", "golden_text")
+                     .select("conv_id", "turn_idx", "golden_text"))
+
+    joined = (extract_stream(spark, input_dir)
+              .join(static_golden, ["conv_id", "turn_idx"])
+              .withColumn("matched",
+                          F.col("text") == F.col("golden_text")))
+    q = (joined.writeStream.format("memory").queryName("enriched")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    rows = spark.sql(
+        "select count(*) n, sum(case when matched then 1 else 0 end) m "
+        "from enriched").head()
+    assert rows["n"] > 0 and rows["n"] == rows["m"]
