@@ -18,6 +18,13 @@ path), so the plans whole-stage-codegen and scale by partitioning:
 
 All functions return DataFrames and are deterministic (xxhash64-based,
 no RNG), so DuckDB oracles can replicate the SQL-expressible ones.
+
+Literature: MinHash resemblance sketches (Broder, "On the resemblance
+and containment of documents", SEQUENCES 1997); LSH banding (Indyk &
+Motwani 1998; Leskovec/Rajaraman/Ullman, MMDS ch. 3); SimHash
+(Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002; Manku/Jain/Das Sarma, "Detecting
+near-duplicates for web crawling", WWW 2007).
 """
 
 from __future__ import annotations

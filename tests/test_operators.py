@@ -225,3 +225,16 @@ def test_cheap_queries_run_at_sf0001(spark):
                  "dd01_exact_dedup", "tx01_token_counts",
                  "mm02_frame_sample"]:
         assert QUERIES[name](spark, sf).count() > 0, name
+
+
+def test_hll_sketch_within_error(spark):
+    """HLL++ sketch (approx_count_distinct) vs exact, on the documents
+    corpus — the 'sketch' member of the dedup/cardinality family. No
+    DuckDB oracle (different HLL implementations); bounded-error check
+    instead."""
+    from pyspark.sql import functions as F
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    row = d.agg(
+        F.countDistinct("text").alias("exact"),
+        F.approx_count_distinct("text", 0.02).alias("approx")).head()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
