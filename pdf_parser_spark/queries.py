@@ -453,6 +453,37 @@ GROUP BY src, nationkey
 """
 
 
+def q19_asof_last_order(spark, sf_dir):
+    """As-of join (custom operator — union + window forward-fill, one
+    shuffle): each event matched to its user's most recent order at or
+    before the event time. Right side pre-aggregated to one row per
+    (custkey, orderdate) with a deterministic tie-break so both engines
+    resolve identically; DuckDB's native ASOF JOIN is the oracle."""
+    from pdf_parser_spark.operators.asof import asof_join
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy(F.col("o_custkey").alias("user_id"),
+                  F.col("o_orderdate").alias("ots"))
+         .agg(F.max("o_orderkey").alias("last_orderkey"),
+              F.round(F.max_by("o_totalprice", "o_orderkey") * 100)
+              .cast("long").alias("last_order_c")))
+    return asof_join(e, o, key="user_id", left_ts="ts", right_ts="ots",
+                     right_payload=["last_orderkey", "last_order_c"])
+
+
+ORACLE_Q19 = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots,
+         MAX(o_orderkey) AS last_orderkey,
+         CAST(ROUND(arg_max(o_totalprice, o_orderkey)*100) AS BIGINT)
+           AS last_order_c
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts, o.last_orderkey, o.last_order_c
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.ots
+"""
+
+
 # =====================================================================
 # Dedup family (documents corpus)
 # =====================================================================
@@ -979,6 +1010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_customer_order_counts": q16_customer_order_counts,
     "q17_distinct_stats": q17_distinct_stats,
     "q18_account_union": q18_account_union,
+    "q19_asof_last_order": q19_asof_last_order,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
@@ -1021,6 +1053,7 @@ ORACLES: dict[str, str] = {
     "q16_customer_order_counts": ORACLE_Q16,
     "q17_distinct_stats": ORACLE_Q17,
     "q18_account_union": ORACLE_Q18,
+    "q19_asof_last_order": ORACLE_Q19,
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,
