@@ -484,6 +484,39 @@ FROM events e ASOF LEFT JOIN o
 """
 
 
+def q20_range_join(spark, sf_dir):
+    """Range join (non-equi time-interval join + equi key): for each
+    'error' event, how many 'click' events the same user produced in
+    the preceding hour. Left join keeps zero-click errors."""
+    ev = _t(spark, sf_dir, "events")
+    err = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("eid"),
+                   F.col("user_id").alias("u"), F.col("ts").alias("ets")))
+    clk = (ev.filter(F.col("event_type") == "click")
+           .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts")))
+    cond = ((F.col("u") == F.col("cu"))
+            & (F.col("cts") <= F.col("ets"))
+            & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 1 HOUR")))
+    return (err.join(clk, cond, "left")
+            .groupBy("eid", "u")
+            .agg(F.sum(F.when(F.col("cts").isNotNull(), 1).otherwise(0))
+                 .alias("clicks_prev_hour"))
+            .select(F.col("eid").alias("event_id"),
+                    F.col("u").alias("user_id"), "clicks_prev_hour"))
+
+
+ORACLE_Q20 = """
+SELECT e.event_id, e.user_id,
+       CAST(SUM(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS clicks_prev_hour
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+  AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 1 HOUR
+GROUP BY e.event_id, e.user_id
+"""
+
+
 # =====================================================================
 # Dedup family (documents corpus)
 # =====================================================================
@@ -1011,6 +1044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_distinct_stats": q17_distinct_stats,
     "q18_account_union": q18_account_union,
     "q19_asof_last_order": q19_asof_last_order,
+    "q20_range_join": q20_range_join,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
@@ -1054,6 +1088,7 @@ ORACLES: dict[str, str] = {
     "q17_distinct_stats": ORACLE_Q17,
     "q18_account_union": ORACLE_Q18,
     "q19_asof_last_order": ORACLE_Q19,
+    "q20_range_join": ORACLE_Q20,
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,
