@@ -31,26 +31,31 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     """Left as-of join; output = left columns + right_payload columns
     (null when no right row is at-or-before the left timestamp)."""
     left_cols = left.columns
+    # The entire right payload rides in ONE struct column so the
+    # forward-fill picks whole right rows atomically: a NULL in one
+    # payload field of the latest right row must surface as NULL, not
+    # be backfilled from an older row (per-column last(ignorenulls)
+    # would mix columns from different right rows).
+    r_struct_type = (
+        "struct<" + ",".join(
+            f"{c}:{dict(right.dtypes)[c]}" for c in right_payload) + ">")
     l_tagged = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
-          for c in right_payload])
+        F.lit(None).cast(r_struct_type).alias("_r"))
     r_tagged = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in left_cols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload])
+        F.struct(*[F.col(c) for c in right_payload]).alias("_r"))
     unioned = l_tagged.unionByName(r_tagged)
     w = (Window.partitionBy("_k")
          .orderBy(F.col("_ts").asc(), F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-          for c in right_payload])
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_f"))
     return (filled.filter(F.col("_side") == 1)
             .select(*[F.col(c) for c in left_cols],
-                    *[F.col(f"_f_{c}").alias(c) for c in right_payload]))
+                    *[F.col(f"_f.{c}").alias(c) for c in right_payload]))

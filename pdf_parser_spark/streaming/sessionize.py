@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,10 +58,17 @@ def _sessionize_fn(gap_s: int):
                 sessions.append((user_id, start_us, last_us, n, vm))
             state.remove()
         else:
-            rows = pd.concat(list(pdfs))
-            ts_us = (rows["ts"].astype("int64") // 1000).sort_values()
-            vals = (rows["value"] * 1000).round().astype("int64")
-            vals = vals.loc[ts_us.index]
+            # ignore_index: Arrow delivers multiple chunks whose
+            # RangeIndex labels overlap — concat without it would make
+            # .loc/label-alignment fan out and mispair ts/value rows.
+            rows = (pd.concat(list(pdfs), ignore_index=True)
+                    .sort_values("ts", kind="mergesort"))
+            ts_us = rows["ts"].astype("int64") // 1000
+            # HALF_UP (away from zero), matching Spark F.round in the
+            # batch oracle — pandas .round() is round-half-to-even.
+            scaled = rows["value"] * 1000
+            vals = (np.sign(scaled)
+                    * np.floor(np.abs(scaled) + 0.5)).astype("int64")
             if state.exists:
                 start_us, last_us, n, vm = state.get
             else:

@@ -25,3 +25,23 @@ def test_asof_semantics(spark):
            asof_join(left, right, key="k", left_ts="ts",
                      right_ts="rts", right_payload=["price"]).collect()}
     assert out == {1: 200, 2: 200, 3: 100, 4: None, 5: None}
+
+
+def test_asof_null_payload_field_not_backfilled(spark):
+    """A NULL field in the matched (latest) right row must stay NULL —
+    the fill picks whole right rows atomically, never mixing columns
+    from different right rows."""
+    from pdf_parser_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, "old"), (1, 50, None, "new")],
+        "k long, rts long, px double, tag string")
+    out = asof_join(left, right, key="k", left_ts="lts",
+                    right_ts="rts", right_payload=["px", "tag"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # latest right row (rts=50) has px NULL: must NOT backfill 5.0
+    assert r["px"] is None
+    assert r["tag"] == "new"

@@ -46,3 +46,78 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     missing = batch - got
     users_missing = [m[0] for m in missing]
     assert len(users_missing) == len(set(users_missing))
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _sessionize_fn directly."""
+
+    def __init__(self):
+        self.hasTimedOut = False
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self._v = None
+        self.exists = False
+
+    def setTimeoutTimestamp(self, ts):
+        pass
+
+
+def test_multichunk_arrow_batches_pair_ts_with_value():
+    """Regression: events for one user arriving as MULTIPLE Arrow chunks
+    (each with its own RangeIndex starting at 0) must not mispair values
+    with timestamps. The old code concatenated without ignore_index and
+    realigned values via .loc[ts.index], which fans out on duplicate
+    labels — 4 timestamps yielded 8 values."""
+    import pandas as pd
+
+    from pdf_parser_spark.streaming.sessionize import _sessionize_fn
+
+    # two chunks, overlapping RangeIndex labels 0..1, out of order
+    c1 = pd.DataFrame({
+        "user_id": [7, 7],
+        "ts": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:00:00"]),
+        "value": [10.0, 1.0],
+    })
+    c2 = pd.DataFrame({
+        "user_id": [7, 7],
+        "ts": pd.to_datetime(["2024-01-01 00:05:00", "2024-01-01 05:00:00"]),
+        "value": [5.0, 100.0],
+    })
+    state = _FakeState()
+    out = list(_sessionize_fn(gap_s=1800)((7,), iter([c1, c2]), state))
+
+    # first session closes (1+5+10 = 16 -> 16000 milli, 3 events)
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert int(row["n_events"]) == 3
+    assert int(row["value_milli"]) == 16000
+    # open session state holds the 05:00 event only
+    assert state.exists
+    assert state.get[2] == 1 and state.get[3] == 100000
+
+
+def test_stream_rounding_matches_spark_half_up():
+    """value*1000 landing exactly on .5 must round HALF_UP like Spark's
+    F.round in the batch oracle (0.0625 -> 62.5 -> 63, not 62)."""
+    import pandas as pd
+
+    from pdf_parser_spark.streaming.sessionize import _sessionize_fn
+
+    c = pd.DataFrame({
+        "user_id": [1],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00"]),
+        "value": [0.0625],
+    })
+    state = _FakeState()
+    list(_sessionize_fn(gap_s=60)((1,), iter([c]), state))
+    assert state.get[3] == 63
