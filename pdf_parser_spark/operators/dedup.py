@@ -216,21 +216,63 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
-                       prefix_bits: int = 16, max_hamming: int = 3
+                       bands: int = 4, max_hamming: int = 3
                        ) -> DataFrame:
-    """Block on the top prefix_bits, verify Hamming distance on the
-    blocked pairs (bit_count of xor)."""
-    blocked = sim.withColumn(
-        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    """Hamming-neighbour pairs via Manku-style permuted band tables
+    (Manku/Jain/Das Sarma, WWW 2007) with EXACT results: every pair at
+    Hamming distance <= max_hamming is returned, no false positives.
+
+    The 64-bit fingerprint is split into ``bands`` equal bit-bands.
+    A pair at distance h <= max_hamming has at most h dirty bands, so
+    at least ``bands - max_hamming`` bands are identical — every
+    combination of t = bands - max_hamming bands becomes one table's
+    key, and some table's key is guaranteed clean for the pair
+    (pigeonhole). Candidates are verified with bit_count(xor), making
+    the blocked result IDENTICAL to the quadratic all-pairs join.
+
+    Scale: C(bands, t) tables x one row each = bounded row inflation
+    of small (id, key) rows; the self-join shuffles on (table, key)
+    whose values are xxhash64-uniform — no hot blocks, never
+    quadratic (vs the old single 8-bit prefix block: 256 blocks over
+    10^12 docs is ~4e9 docs per block AND misses any pair with a
+    prefix-bit flip).
+    """
+    from itertools import combinations
+
+    if not 1 <= max_hamming <= bands - 1:
+        raise ValueError("need 1 <= max_hamming <= bands - 1 "
+                         "(recall guarantee is pigeonhole over bands)")
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    t = bands - max_hamming
+    combos = list(combinations(range(bands), t))
+    if len(combos) > 64:
+        raise ValueError(
+            f"C({bands},{t})={len(combos)} tables — raise bands only "
+            "with a smaller max_hamming (row inflation = table count)")
+
+    def band_val(i: int) -> Column:
+        return (F.shiftrightunsigned("simhash", i * width)
+                .bitwiseAND(F.lit((1 << width) - 1) if width < 64
+                            else F.lit(-1).cast("long")))
+
+    keys = [F.xxhash64(F.lit(ci), *[band_val(i) for i in combo])
+            for ci, combo in enumerate(combos)]
+    tabbed = sim.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*keys)).alias("tbl", "key"))
+    a = tabbed.alias("a")
+    b = tabbed.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+    return (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.key") == F.col("b.key"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .withColumn("hamming", F.bit_count(xor))
             .filter(F.col("hamming") <= max_hamming)
             .select(F.col(f"a.{id_col}").alias("a"),
-                    F.col(f"b.{id_col}").alias("b"), "hamming"))
+                    F.col(f"b.{id_col}").alias("b"), "hamming")
+            .distinct())
 
 
 # --------------------------------------------------- embedding near-dup
@@ -267,3 +309,73 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
             .filter(F.col("cosine") >= threshold)
             .select(F.col(f"a.{id_col}").alias("a"),
                     F.col(f"b.{id_col}").alias("b"), "cosine"))
+
+
+def embedding_srp_pairs(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        block_col: str | None = "label",
+                        threshold: float = 0.95,
+                        n_planes: int = 8, dim: int = 64,
+                        probe_hamming: int = 1) -> DataFrame:
+    """Scale path for embedding near-dup: sign-random-projection LSH
+    buckets bound the pair join; exact cosine verifies candidates.
+
+    Each vector hashes to an ``n_planes``-bit SRP bucket (deterministic
+    seeded hyperplanes inlined as literals — pure codegen, shared with
+    ``similarity.lsh_cosine_topk``). Side A explodes to its bucket
+    plus every bucket within Hamming ``probe_hamming`` (multi-probe);
+    side B keeps its single bucket; the equi-join on (block?, bucket)
+    shuffles uniform int keys — never quadratic in the corpus, unlike
+    the label-blocked ``embedding_cosine_pairs`` where one hot label
+    is O(n_label^2).
+
+    Recall is probabilistic (a pair at angle θ disagrees per plane
+    w.p. θ/π; multi-probe covers signature Hamming <= probe_hamming):
+    ~0.95+ for true near-dups (cos >= 0.99) at the defaults. The
+    pytest gate ``test_embedding_srp_recall`` measures it against the
+    exact join; cell-exactness of the candidate *scores* is preserved
+    (same fold order), so a DuckDB oracle replicating the bucketing
+    matches bit-for-bit.
+    """
+    from itertools import combinations
+
+    from .similarity import hyperplanes, srp_bucket
+
+    if probe_hamming not in (0, 1, 2):
+        raise ValueError("probe_hamming must be 0, 1 or 2")
+    planes = hyperplanes(dim, n_planes)
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i, j in combinations(range(n_planes), 2)]
+
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).alias("v"), norm.alias("nrm"),
+        *([F.col(block_col)] if block_col else []),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"))
+    a = base.select(
+        id_col, "v", "nrm", *([block_col] if block_col else []),
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
+                            for m in masks])).alias("jbucket")).alias("a")
+    b = base.withColumnRenamed("bucket", "jbucket").alias("b")
+    cond = ((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.jbucket") == F.col("b.jbucket")))
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, cond)
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("a"),
+                    F.col(f"b.{id_col}").alias("b"), "cosine")
+            .distinct())

@@ -628,11 +628,15 @@ def dd03_minhash_lsh(spark, sf_dir):
 
 
 def dd04_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (64-bit sign-sum fingerprint,
-    prefix-blocked Hamming verify). xxhash64-based → rows-only."""
+    """SimHash near-dup candidates: 64-bit sign-sum fingerprint,
+    Manku-style permuted band tables (4 bands of 16 bits, one table
+    per single band -> guaranteed recall for hamming <= 3), exact
+    Hamming verify on candidates. xxhash64-based → rows-only; pair-set
+    equality vs the quadratic all-pairs join is pytest-asserted
+    (test_simhash_banding_equals_exact)."""
     d = _spread(_t(spark, sf_dir, "documents"))
     sim = dedup.simhash(d)
-    return dedup.simhash_candidates(sim, prefix_bits=8, max_hamming=12)
+    return dedup.simhash_candidates(sim, bands=4, max_hamming=3)
 
 
 # Embedding cosine fold shared between dd05/ann01 oracle SQL: explicit
@@ -661,6 +665,57 @@ WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b,
        {_COS_SQL.format(a='a.v', b='b.v')} AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_DUP_THRESHOLD}
+"""
+
+SRP_PLANES = 8
+SRP_PROBE_HAMMING = 1
+
+
+def dd06_embedding_srp(spark, sf_dir):
+    """SCALE path for embedding near-dup: SRP-LSH buckets (8 seeded
+    hyperplanes) bound the pair join, Hamming-1 multi-probe, exact
+    cosine verify on candidates only — never quadratic in the corpus.
+    The hyperplanes are deterministic literals, so the DuckDB oracle
+    replicates the bucketing bit-for-bit (same left-to-right fold):
+    this LSH operator is cell-exact oracled, not rows-only. Recall for
+    true near-dups (cos>=0.99) is gated in
+    tests/test_operators.py::test_embedding_srp_recall."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    pairs = dedup.embedding_srp_pairs(
+        e, block_col=None, threshold=COSINE_DUP_THRESHOLD,
+        n_planes=SRP_PLANES, probe_hamming=SRP_PROBE_HAMMING)
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+def _srp_oracle_sql() -> str:
+    """DuckDB SQL replicating dd06 exactly: plane literals from the
+    same seeded generator, bucket = sum of sign bits, Hamming-1
+    multi-probe expansion via unnest+xor, cosine verify + round(6)."""
+    planes = similarity.hyperplanes(64, SRP_PLANES)
+    rows = ", ".join(
+        "({i}, [{v}]::DOUBLE[])".format(
+            i=i, v=", ".join(repr(float(w)) for w in plane))
+        for i, plane in enumerate(planes))
+    dotp = ("list_reduce(list_prepend(0.0, list_transform(range(1, 65),"
+            " i -> e.v[i]::DOUBLE * p.pv[i])), (x, y) -> x + y)")
+    masks = [0] + [1 << i for i in range(SRP_PLANES)]
+    probes = ", ".join(f"xor(bucket, {m})" for m in masks)
+    return f"""
+WITH planes(pid, pv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding AS v FROM embeddings),
+bk AS (
+  SELECT e.vec_id, e.v,
+         SUM(CASE WHEN {dotp} > 0 THEN (1 << p.pid) ELSE 0 END)::BIGINT
+           AS bucket
+  FROM e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.v
+),
+ax AS (SELECT vec_id, v, unnest([{probes}]) AS jbucket FROM bk)
+SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+       {_COS_SQL.format(a='a.v', b='b.v')} AS cosine
+FROM ax a JOIN bk b
+  ON a.jbucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_DUP_THRESHOLD}
 """
 
@@ -1050,6 +1105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd03_minhash_lsh": dd03_minhash_lsh,
     "dd04_simhash": dd04_simhash,
     "dd05_embedding_cosine": dd05_embedding_cosine,
+    "dd06_embedding_srp": dd06_embedding_srp,
     "tx01_token_counts": tx01_token_counts,
     "tx02_quality": tx02_quality,
     "tx03_langid": tx03_langid,
@@ -1092,6 +1148,7 @@ ORACLES: dict[str, str] = {
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,
+    "dd06_embedding_srp": _srp_oracle_sql(),
     "tx01_token_counts": ORACLE_TX01,
     "tx02_quality": ORACLE_TX02,
     "tx03_langid": _langid_oracle(),

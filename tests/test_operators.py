@@ -62,9 +62,74 @@ def test_simhash_identical_and_distant(spark, docs):
     vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
     assert vals[0] == vals[1]           # identical text, identical hash
     cands = {(r["a"], r["b"]): r["hamming"]
-             for r in simhash_candidates(sim, prefix_bits=1,
+             for r in simhash_candidates(sim, bands=4,
                                          max_hamming=3).collect()}
     assert cands.get((0, 1)) == 0
+
+
+def test_simhash_banding_finds_prefix_flips(spark):
+    """Regression vs the old single 8-bit-prefix block: a pair whose
+    only differing bits are INSIDE the top byte was silently missed.
+    Banded tables must find it."""
+    from pdf_parser_spark.operators.dedup import simhash_candidates
+
+    base = 0x123456789ABCDEF0
+    top_flips = base ^ (0b111 << 61)       # 3 flips, all in top byte
+    low_flips = base ^ 0b1011              # 3 flips, all in low band
+    far = base ^ ((1 << 63) | (1 << 40) | (1 << 20) | (1 << 5))  # h=4
+    sim = spark.createDataFrame(
+        [(0, _as_long(base)), (1, _as_long(top_flips)),
+         (2, _as_long(low_flips)), (3, _as_long(far))],
+        "doc_id long, simhash long")
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_candidates(sim, bands=4,
+                                       max_hamming=3).collect()}
+    assert got[(0, 1)] == 3               # inside old prefix: now found
+    assert got[(0, 2)] == 3
+    assert (0, 3) not in got              # hamming 4 > max: excluded
+
+
+def _as_long(v: int) -> int:
+    """Interpret a 64-bit pattern as a signed Java long."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_banding_equals_exact(spark):
+    """The banded candidate set must EQUAL the quadratic all-pairs
+    Hamming join (guaranteed recall via pigeonhole + exact verify)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.dedup import simhash_candidates
+
+    rng = random.Random(42)
+    rows = []
+    fid = 0
+    for _ in range(40):
+        base = rng.getrandbits(64)
+        rows.append((fid, _as_long(base))); fid += 1
+        # a few close neighbours at distances 1..5
+        for h in (1, 2, 3, 4, 5):
+            flipped = base
+            for bit in rng.sample(range(64), h):
+                flipped ^= (1 << bit)
+            rows.append((fid, _as_long(flipped))); fid += 1
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    banded = {(r["a"], r["b"], r["hamming"])
+              for r in simhash_candidates(sim, bands=4,
+                                          max_hamming=3).collect()}
+    a, b = sim.alias("a"), sim.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    exact = {(r["a"], r["b"], r["hamming"]) for r in
+             a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+              .withColumn("hamming", F.bit_count(xor))
+              .filter("hamming <= 3")
+              .select(F.col("a.doc_id").alias("a"),
+                      F.col("b.doc_id").alias("b"), "hamming").collect()}
+    assert banded == exact
+    assert len(exact) > 0
 
 
 def test_embedding_cosine_pairs(spark):
@@ -82,6 +147,41 @@ def test_embedding_cosine_pairs(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 2) not in pairs
     assert (0, 3) not in pairs          # blocked by label
+
+
+def test_embedding_srp_recall(spark):
+    """SRP-LSH near-dup (the scale path) must recover >=90% of planted
+    true near-dups (cos >= 0.99) found by the exact quadratic join,
+    with zero false positives (exact cosine verify on candidates)."""
+    import numpy as np
+
+    from pdf_parser_spark.operators.dedup import (
+        embedding_cosine_pairs, embedding_srp_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(60):
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v], 0)); vid += 1
+        # planted near-dup: tiny perturbation -> cosine ~0.999
+        d = v + rng.standard_normal(64) * 0.008
+        d /= np.linalg.norm(d)
+        rows.append((vid, [float(x) for x in d], 0)); vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+    exact = {(r["a"], r["b"]) for r in embedding_cosine_pairs(
+        emb, block_col=None, threshold=0.99).collect()}
+    srp = {(r["a"], r["b"]) for r in embedding_srp_pairs(
+        emb, block_col=None, threshold=0.99,
+        n_planes=8, probe_hamming=1).collect()}
+    assert len(exact) >= 60               # all planted pairs qualify
+    assert srp <= exact                   # no false positives
+    recall = len(srp & exact) / len(exact)
+    assert recall >= 0.90, f"recall {recall:.3f}"
 
 
 # --------------------------------------------------------------- textstats
