@@ -92,7 +92,11 @@ class ExtractionJob:
                       .otherwise(0)), F.lit(0)).alias("failures"),
         )
 
-        (observed.write.mode("append").partitionBy("bucket")
+        # run_id is the LEADING partition column: each run lands in its
+        # own directory, so the lineage read-back below partition-prunes
+        # to this run's files instead of rescanning every historical
+        # run's output (at 10^12 turns that rescan is the whole corpus)
+        (observed.write.mode("append").partitionBy("run_id", "bucket")
          .parquet(self.output_dir))
         metrics = dict(obs.get)
 
@@ -100,7 +104,9 @@ class ExtractionJob:
         # (read-back), so a crash between write and lineage leaves the
         # bucket uncommitted -> it reprocesses on resume, and the
         # orphaned output rows stay invisible because read_output()
-        # semi-joins on lineage-committed (bucket, run_id) pairs
+        # semi-joins on lineage-committed (bucket, run_id) pairs.
+        # run_id == partition column -> the filter is a PartitionFilter
+        # (file pruning), not a data filter.
         written = (self.spark.read.parquet(self.output_dir)
                    .filter(F.col("run_id") == run_id))
         lineage = (written.groupBy("bucket").agg(

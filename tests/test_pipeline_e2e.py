@@ -96,3 +96,32 @@ def test_job_resume_idempotent(spark, tmp_path):
     assert job.read_output().count() == total
     assert m1["failures"] == 0 and m2["failures"] == 0
     turns.unpersist()
+
+
+def test_lineage_readback_prunes_to_run(spark, tmp_path):
+    """run_id is a leading partition column: the lineage read-back for
+    one run must partition-prune to that run's directory, not rescan
+    every historical run's output."""
+    out_dir = str(tmp_path / "out")
+    lin_dir = str(tmp_path / "lineage")
+    turns = synthetic_turns(spark, N_CONVS)
+    job = ExtractionJob(spark, out_dir, lin_dir, n_buckets=16, salt=2,
+                        partitions=8)
+    half = turns.withColumn(
+        "b", F.pmod(F.xxhash64("conv_id"), F.lit(16))).filter("b < 8").drop("b")
+    job.run(half, run_id="r1")
+    job.run(turns, run_id="r2")
+
+    # on-disk layout: one subdirectory per run
+    import os
+    subdirs = {d for d in os.listdir(out_dir) if d.startswith("run_id=")}
+    assert subdirs == {"run_id=r1", "run_id=r2"}
+
+    # the exact read-back frame job.run builds: filter must appear as a
+    # PartitionFilter (file pruning), never a post-scan data filter
+    written = (spark.read.parquet(out_dir)
+               .filter(F.col("run_id") == "r1"))
+    plan = written._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    start = plan.index("PartitionFilters")
+    assert "run_id" in plan[start:start + 200]
