@@ -357,10 +357,14 @@ def q15_orders_above_cust_avg(spark, sf_dir):
     engines, so the > boundary is deterministic."""
     o = _t(spark, sf_dir, "orders").withColumn(
         "price_c", F.round(F.col("o_totalprice") * 100).cast("long"))
-    avgs = (o.groupBy("o_custkey")
-            .agg((F.sum("price_c") / F.count(F.lit(1))).alias("avg_c"))
-            .withColumnRenamed("o_custkey", "ck"))
-    return (o.join(F.broadcast(avgs), o.o_custkey == avgs.ck)
+    # window, not a broadcast join: the per-customer aggregate is
+    # unbounded (one row per customer), so broadcasting it would stream
+    # the whole aggregate through the driver at scale. One shuffle on
+    # o_custkey computes avg and filters in place.
+    w = Window.partitionBy("o_custkey")
+    avg_c = (F.sum("price_c").over(w)
+             / F.count(F.lit(1)).over(w))
+    return (o.withColumn("avg_c", avg_c)
             .filter(F.col("price_c") > F.col("avg_c"))
             .select("o_orderkey", "o_custkey", "price_c"))
 

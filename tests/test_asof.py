@@ -45,3 +45,40 @@ def test_asof_null_payload_field_not_backfilled(spark):
     # latest right row (rts=50) has px NULL: must NOT backfill 5.0
     assert r["px"] is None
     assert r["tag"] == "new"
+
+
+def test_asof_sliced_equals_unsliced_under_hot_key(spark):
+    """Skew path: one key holds 90% of rows. Sliced execution must (a)
+    produce exactly the unsliced result and (b) actually spread the hot
+    key across many (key, slice) window partitions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.asof import asof_join
+
+    rng = random.Random(13)
+    left_rows, right_rows = [], []
+    # hot key 0: 900 left rows; cold keys 1..9: 10 each
+    for k, n in [(0, 900)] + [(i, 10) for i in range(1, 10)]:
+        for _ in range(n):
+            left_rows.append((k, rng.randrange(0, 100_000)))
+        for ts in rng.sample(range(0, 100_000), 25):
+            right_rows.append((k, ts, f"p{k}-{ts}", float(ts) * 0.5))
+    left = spark.createDataFrame(left_rows, "k long, lts long")
+    right = spark.createDataFrame(
+        right_rows, "k long, rts long, tag string, px double")
+
+    kw = dict(key="k", left_ts="lts", right_ts="rts",
+              right_payload=["tag", "px"])
+    plain = asof_join(left, right, **kw)
+    sliced = asof_join(left, right, slices=16, **kw)
+    assert plain.exceptAll(sliced).count() == 0
+    assert sliced.exceptAll(plain).count() == 0
+
+    # task-size: hot key's 900+25 rows span >= 8 of the 16 slices
+    mn, mx = 0, 100_000
+    width = max(1.0, (mx - mn + 1) / 16)
+    hot_slices = {min(15, int((ts - mn) // width))
+                  for k, ts in left_rows if k == 0}
+    assert len(hot_slices) >= 8
