@@ -1025,6 +1025,24 @@ def ex02_golden_match(spark, sf_dir):
         .alias("parse_failures"))
 
 
+# The ex02/ex03 corpora are seeded and sf-independent (EXTRACT_N_CONVS
+# fixture conversations), so their golden-parity aggregates are
+# CONSTANTS: pinning them as literal-SELECT oracles turns per-turn text
+# equality into a hard hash-checked gate in CORRECTNESS_r{N}.json — any
+# kernel regression flips matched != total and the driver flags it.
+ORACLE_EX02 = """
+SELECT CAST(162 AS BIGINT) AS total_turns,
+       CAST(162 AS BIGINT) AS matched,
+       CAST(0 AS BIGINT) AS parse_failures
+"""
+
+ORACLE_EX03 = """
+SELECT CAST(120 AS BIGINT) AS total_turns,
+       CAST(120 AS BIGINT) AS matched,
+       CAST(600 AS BIGINT) AS chrome_blocks_stripped
+"""
+
+
 def ex03_html_extract(spark, sf_dir):
     """HTML main-content extraction (north_rule: boilerplate strip /
     DOM heuristics) over a deterministic synthetic HTML transcript
@@ -1164,6 +1182,8 @@ ORACLES: dict[str, str] = {
     "ann01_cosine_topk": ORACLE_ANN01,
     "mm01_decode_meta": ORACLE_MM01,
     "mm02_frame_sample": ORACLE_MM02,
+    "ex02_golden_match": ORACLE_EX02,
+    "ex03_html_extract": ORACLE_EX03,
     # dd03/dd04 (xxhash64 LSH), ann02 (literal hyperplanes), and
     # ex01-ex04 (PDF/HTML kernels) are intentionally oracle-free →
     # rows-only checks; their correctness gates live in tests/
