@@ -245,6 +245,36 @@ def pdf_image_flate():
                        "n_images": 1, "image_data": IMG_RGB_2X2}
 
 
+# 16x8 DeviceGray, two flat 8x8 blocks (40 | 200): DC-only blocks with
+# unit quantization decode exactly in every conforming decoder, so the
+# expected pixels are known analytically — true DCT pixel parity
+# (ref src/image.rs:140-143 decodes with jpeg_decoder; same raster).
+IMG_GRAY_DCT = bytes([40] * 8 + [200] * 8) * 8
+
+
+def _dct_jpeg_gray() -> bytes:
+    from .kernel.jpegdec import encode_baseline_jpeg
+    return encode_baseline_jpeg(IMG_GRAY_DCT, 16, 8, 1)
+
+
+def pdf_image_dct():
+    """Baseline-JPEG (DCTDecode) image with analytically known pixels:
+    decoded raster must equal IMG_GRAY_DCT expanded Gray->RGB."""
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>")
+    b.add(3, b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+             b"<</XObject <</Im1 6 0 R>>>>>>")
+    b.add_stream(4, b"", b"q 16 0 0 8 0 0 cm /Im1 Do Q")
+    b.add_stream(6, b"/Subtype /Image /Width 16 /Height 8 "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /DCTDecode", _dct_jpeg_gray())
+    return b.build(), {"text": "", "n_pages": 1, "n_spans": 0,
+                       "n_images": 1, "image_format": "raw-rgb",
+                       "image_data": bytes(
+                           v for p in IMG_GRAY_DCT for v in (p, p, p))}
+
+
 FAKE_JPEG = b"\xff\xd8\xff\xe0fake-jpeg-payload\xff\xd9"
 
 
@@ -472,6 +502,7 @@ FIXTURES = {
     "pdf-cmap": pdf_cmap,
     "pdf-encoding-diff": pdf_encoding_diff,
     "pdf-image-flate": pdf_image_flate,
+    "pdf-image-dct": pdf_image_dct,
     "pdf-image-dct-smask": pdf_image_dct_smask,
     "pdf-xrefstream": pdf_xrefstream,
     "pdf-objstm": pdf_objstm,

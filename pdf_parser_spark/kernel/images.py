@@ -12,10 +12,11 @@ pipeline (``PDF::extract_image``).
 - SMask anti-join         ref src/page.rs:51-74: pass 1 collects /SMask
                           refs of page XObjects, pass 2 decodes every
                           XObject NOT in the SMask set
-- DCT (JPEG) raster decode is stubbed: no JPEG decoder ships in this
-  container. The JPEG bytes are returned raw with ``format='jpeg'`` so a
-  sink can still persist them (the reference's main.rs re-encodes to JPEG
-  anyway, src/main.rs:36-42).
+- DCT (JPEG) raster decode   ref src/image.rs:140-143: baseline JPEG
+  decoded to raster by the in-repo pure-Python codec (kernel/jpegdec.py,
+  implementing T.81 SOF0 from the public spec), then the same Gray->RGB
+  expansion as ``into_rgb8()``. Non-baseline JPEGs fall back to byte
+  passthrough (``format='jpeg'``) where the reference would panic.
 
 Deviation (SURVEY.md §2.7.4): images are returned in name-sorted XObject
 order — deterministic — where the reference iterates a HashMap.
@@ -27,6 +28,7 @@ from dataclasses import dataclass
 
 from .cos import PdfDict, PdfIndirectRef, PdfInteger, PdfName, PdfStreamObj
 from .fileparse import PdfStructureError
+from .jpegdec import JpegError, decode_baseline_jpeg
 
 
 class ImageError(ValueError):
@@ -104,8 +106,23 @@ def extract_page_images(doc, page) -> list[ExtractedImage]:
                 raw = bytes(b for px in raw for b in (px, px, px))
             images.append(ExtractedImage(page.page_number, name, w, h, cs,
                                          "raw-rgb", raw))
-        else:  # DCTDecode: raster decode stubbed; JPEG bytes passthrough
+        else:  # DCTDecode: baseline JPEG raster decode (ref
+            # src/image.rs:140-143 jpeg_decoder::Decoder), then the
+            # same Gray->RGB expansion as into_rgb8()
             data = doc.stream_raw(obj)
+            try:
+                jw, jh, ncomp, px = decode_baseline_jpeg(data)
+            except JpegError:
+                # non-baseline (progressive/arithmetic) JPEG: keep the
+                # bytes so the sink can persist them — the reference
+                # panics here (unwrap), we degrade gracefully
+                images.append(ExtractedImage(page.page_number, name, w,
+                                             h, cs, "jpeg", data))
+                continue
+            if (jw, jh) != (w, h):
+                raise ImageError("JPEG dims disagree with /Width /Height")
+            if ncomp == 1:
+                px = bytes(b for p in px for b in (p, p, p))
             images.append(ExtractedImage(page.page_number, name, w, h, cs,
-                                         "jpeg", data))
+                                         "raw-rgb", px))
     return images

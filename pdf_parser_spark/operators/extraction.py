@@ -193,3 +193,43 @@ def extract_turns(turns: DataFrame, salt: int | None = None,
             F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt)),
         )
     return slim.mapInArrow(_extract_batches, schema=EXTRACT_SCHEMA)
+
+
+def _encode_jpeg_batches(batches: Iterator[pa.RecordBatch]
+                         ) -> Iterator[pa.RecordBatch]:
+    from pdf_parser_spark.kernel.jpegdec import encode_baseline_jpeg
+
+    for batch in batches:
+        cols = {n: batch.column(n).to_pylist()
+                for n in batch.schema.names}
+        out_fmt, out_data = [], []
+        for fmt, w, h, data in zip(cols["format"], cols["width"],
+                                   cols["height"], cols["data"]):
+            if fmt == "raw-rgb":
+                out_fmt.append("jpeg")
+                out_data.append(encode_baseline_jpeg(data, w, h, 3))
+            else:  # already JPEG (non-baseline passthrough)
+                out_fmt.append(fmt)
+                out_data.append(data)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols["conv_id"], pa.string()),
+             pa.array(cols["turn_idx"], pa.int32()),
+             pa.array(cols["page"], pa.int32()),
+             pa.array(cols["name"], pa.string()),
+             pa.array(cols["width"], pa.int32()),
+             pa.array(cols["height"], pa.int32()),
+             pa.array(cols["colorspace"], pa.string()),
+             pa.array(out_fmt, pa.string()),
+             pa.array(out_data, pa.binary())],
+            names=["conv_id", "turn_idx", "page", "name", "width",
+                   "height", "colorspace", "format", "data"])
+
+
+def encode_images_jpeg(images: DataFrame) -> DataFrame:
+    """JPEG sink parity (ref src/main.rs:36-42 re-encodes every
+    extracted raster with JpegEncoder before writing): raw-rgb rows
+    are baseline-JPEG encoded by the in-repo codec; rows that stayed
+    JPEG (non-baseline passthrough) are forwarded. Same schema, so
+    a parquet write of this frame is the reference's image sink as a
+    distributed table."""
+    return images.mapInArrow(_encode_jpeg_batches, schema=IMAGE_SCHEMA)

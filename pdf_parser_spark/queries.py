@@ -1097,6 +1097,22 @@ def ex05_extract_images(spark, sf_dir):
                     F.octet_length("data").alias("n_bytes")))
 
 
+def ex06_jpeg_sink(spark, sf_dir):
+    """JPEG sink parity (ref src/main.rs:36-42): extracted rasters
+    re-encoded to baseline JPEG by the in-repo codec; reports per-image
+    encoded sizes. Rows-only; encode->decode round-trip parity is
+    asserted in tests/test_jpegdec.py / test_extract_pdfs.py."""
+    from pdf_parser_spark.operators.extraction import (
+        encode_images_jpeg, extract_images,
+    )
+
+    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    sunk = encode_images_jpeg(extract_images(turns))
+    return sunk.select(
+        "conv_id", "turn_idx", "page", "name", "format",
+        F.octet_length("data").alias("jpeg_bytes"))
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1144,6 +1160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ex03_html_extract": ex03_html_extract,
     "ex04_conversation_rollup": ex04_conversation_rollup,
     "ex05_extract_images": ex05_extract_images,
+    "ex06_jpeg_sink": ex06_jpeg_sink,
 }
 
 ORACLES: dict[str, str] = {

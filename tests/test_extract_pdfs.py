@@ -84,3 +84,35 @@ def test_page_subset_scan():
     assert res["parse_error"] is None
     assert res["text"] == "Page 2\nLine two"
     assert res["n_pages"] == 3  # page count still reflects the tree
+
+
+def test_image_dct_parity():
+    """DCTDecode raster parity (ref src/image.rs:140-143): the baseline
+    JPEG fixture decodes to analytically known pixels, expanded
+    Gray->RGB like into_rgb8()."""
+    pdf, golden = get_fixture("pdf-image-dct")
+    res = extract_text(pdf, with_images=True)
+    assert res["parse_error"] is None
+    assert len(res["images"]) == 1
+    img = res["images"][0]
+    assert img["format"] == "raw-rgb"
+    assert (img["width"], img["height"]) == (16, 8)
+    assert img["data"] == golden["image_data"]
+
+
+def test_jpeg_sink_roundtrip_exact():
+    """Sink parity (ref src/main.rs:36-42): re-encoding the gray DCT
+    fixture's raster to JPEG and decoding it back reproduces the exact
+    pixels (flat blocks + gray->RGB have no YCbCr rounding)."""
+    from pdf_parser_spark.kernel.jpegdec import (
+        decode_baseline_jpeg, encode_baseline_jpeg,
+    )
+
+    pdf, golden = get_fixture("pdf-image-dct")
+    res = extract_text(pdf, with_images=True)
+    img = res["images"][0]
+    jpeg = encode_baseline_jpeg(img["data"], img["width"],
+                                img["height"], 3)
+    w, h, n, px = decode_baseline_jpeg(jpeg)
+    assert (w, h, n) == (img["width"], img["height"], 3)
+    assert px == golden["image_data"]
