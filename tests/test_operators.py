@@ -311,11 +311,12 @@ def test_registry_consistency():
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
     # the intentionally oracle-free set is exactly the non-SQL ops
+    # (ex02/ex03 gained constant golden-parity oracles in round 2;
+    # dd06's SRP bucketing is fully replicated in DuckDB SQL)
     assert set(qs) - set(oracles) == {
         "dd03_minhash_lsh", "dd04_simhash", "ann02_lsh_topk",
-        "ex01_extract_turns", "ex02_golden_match",
-        "ex03_html_extract", "ex04_conversation_rollup",
-        "ex05_extract_images"}
+        "ex01_extract_turns", "ex04_conversation_rollup",
+        "ex05_extract_images", "ex06_jpeg_sink"}
 
 
 def test_cheap_queries_run_at_sf0001(spark):

@@ -142,3 +142,138 @@ def test_roundtrip_hex_string(data):
 def test_integer_exact(n):
     parsed = Parser(str(n).encode()).parse()
     assert isinstance(parsed, PdfInteger) and parsed.value == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_content_lexer_fast_equals_general(data):
+    """The master-regex content lexer (used by the fused interpreter in
+    textops.run) must produce the same tokens / errors / error offsets
+    as the general branch-dispatch loop for ANY input."""
+    from pdf_parser_spark.kernel.cos import Lexer, LexerError
+
+    if not data:
+        return
+
+    def run(method):
+        lx = Lexer(data, 0, content_mode=True)
+        try:
+            return ("ok", getattr(lx, method)())
+        except LexerError as e:
+            return ("err", e.kind, e.offset)
+
+    assert run("_tokenize_content") == run("_tokenize_general")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from(
+    [b"BT", b"ET", b"1 0 0 1 5 7 cm", b"q", b"Q", b"/F1 9 Tf",
+     b"10 20 Td", b"(hi) Tj", b"[ (a) -300 (b) ] TJ", b"<414243> Tj",
+     b"0.5 w", b"1 0 0 RG", b"T*", b"14 TL", b"(x\\(y) Tj",
+     b"% note\n", b"true false null 3 sc", b"5 TD", b"2 4 6 8 1 3 Tm",
+     b"(a) '", b"1 2 (b) \""]),
+    min_size=0, max_size=30))
+def test_fused_interpreter_matches_token_loop(parts):
+    """Differential oracle: ContentInterpreter.run (fused master-regex
+    scan) vs a token-stream-driven reference interpreter replicating
+    the pre-fusion dispatch loop, over random operator sequences."""
+    from pdf_parser_spark.kernel.cos import (
+        TK_HEXSTR, TK_INT, TK_OP, TK_REAL, TK_STR, tokenize,
+    )
+    from pdf_parser_spark.kernel.textops import (
+        IDENTITY, TJ_SPACE_THRESHOLD, ContentInterpreter, FontInfo,
+        TextSpan, mat_mul, translate,
+    )
+
+    content = b" ".join(parts)
+    if not content.strip():
+        return
+    got = ContentInterpreter({}, 1).run(content)
+
+    # ---- reference: the pre-fusion token loop, verbatim semantics ----
+    toks = tokenize(content, 0, content_mode=True)
+    spans = []
+    ctm = IDENTITY
+    gstack = []
+    tm = IDENTITY
+    tlm = IDENTITY
+    leading = 0.0
+    font = None
+    operands = []
+    empty_font = FontInfo(name="")
+
+    def emit(raw):
+        nonlocal tm
+        f = font if font is not None else empty_font
+        text = f.decode(raw)
+        if text == "":
+            return
+        dev = mat_mul(tm, ctm)
+        spans.append(TextSpan(1, dev[4], dev[5], f.name, text))
+
+    for t in toks:
+        if t.kind != TK_OP:
+            operands.append(t)
+            continue
+        op = t.value
+        if op == "q":
+            gstack.append(ctm)
+        elif op == "Q":
+            ctm = gstack.pop() if gstack else IDENTITY
+        elif op == "cm" and len(operands) >= 6:
+            ctm = mat_mul(tuple(float(x.value) for x in operands[-6:]), ctm)
+        elif op == "BT":
+            tm = IDENTITY
+            tlm = IDENTITY
+        elif op == "Tf" and len(operands) >= 2:
+            font = {}.get(operands[-2].value,
+                          FontInfo(name=str(operands[-2].value)))
+        elif op == "Td" and len(operands) >= 2:
+            tlm = mat_mul(translate(float(operands[-2].value),
+                                    float(operands[-1].value)), tlm)
+            tm = tlm
+        elif op == "TD" and len(operands) >= 2:
+            leading = -float(operands[-1].value)
+            tlm = mat_mul(translate(float(operands[-2].value),
+                                    float(operands[-1].value)), tlm)
+            tm = tlm
+        elif op == "Tm" and len(operands) >= 6:
+            tlm = tuple(float(x.value) for x in operands[-6:])
+            tm = tlm
+        elif op == "T*":
+            tlm = mat_mul(translate(0.0, -leading), tlm)
+            tm = tlm
+        elif op == "TL" and len(operands) >= 1:
+            leading = float(operands[-1].value)
+        elif op == "Tj" and operands:
+            if operands[-1].kind in (TK_STR, TK_HEXSTR):
+                emit(operands[-1].value)
+        elif op == "'" and operands:
+            tlm = mat_mul(translate(0.0, -leading), tlm)
+            tm = tlm
+            if operands[-1].kind in (TK_STR, TK_HEXSTR):
+                emit(operands[-1].value)
+        elif op == '"' and len(operands) >= 3:
+            tlm = mat_mul(translate(0.0, -leading), tlm)
+            tm = tlm
+            if operands[-1].kind in (TK_STR, TK_HEXSTR):
+                emit(operands[-1].value)
+        elif op == "TJ":
+            parts2 = []
+            f = font if font is not None else empty_font
+            for ot in operands:
+                if ot.kind in (TK_STR, TK_HEXSTR):
+                    parts2.append(f.decode(ot.value))
+                elif ot.kind in (TK_INT, TK_REAL):
+                    if float(ot.value) <= TJ_SPACE_THRESHOLD:
+                        parts2.append(" ")
+            text = "".join(parts2)
+            if text:
+                dev = mat_mul(tm, ctm)
+                spans.append(TextSpan(1, dev[4], dev[5], f.name, text))
+        operands = []
+
+    assert [(s.page, s.font, s.text) for s in got] == \
+        [(s.page, s.font, s.text) for s in spans]
+    for a, b in zip(got, spans):
+        assert abs(a.x - b.x) < 1e-9 and abs(a.y - b.y) < 1e-9
