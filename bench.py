@@ -32,6 +32,7 @@ HEADLINE = [
     "dd03_minhash_lsh",
     "dd04_simhash",
     "dd05_embedding_cosine",
+    "dd06_embedding_srp",
     "tx02_quality",
     "tx03_langid",
     "tx04_fingerprint",
