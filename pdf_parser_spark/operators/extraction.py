@@ -233,3 +233,31 @@ def encode_images_jpeg(images: DataFrame) -> DataFrame:
     a parquet write of this frame is the reference's image sink as a
     distributed table."""
     return images.mapInArrow(_encode_jpeg_batches, schema=IMAGE_SCHEMA)
+
+
+def extract_turns_dedup(turns: DataFrame) -> DataFrame:
+    """Distinct-document extraction: hash the payload, run the kernel
+    once per DISTINCT document, then join results back to every turn.
+
+    At 10^12-turn scale duplicated payloads are the norm (retried
+    tool calls, forwarded transcripts, boilerplate attachments); the
+    Python kernel is the expensive stage, so paying one digest shuffle
+    + one join to run it once per distinct payload wins whenever the
+    duplication ratio is meaningful. Same output schema and rows as
+    ``extract_turns`` (equality asserted in
+    tests/test_pipeline_e2e.py::test_extract_dedup_equals_direct).
+    """
+    slim = turns.select("conv_id", "turn_idx", "text")
+    keyed = slim.withColumn("_digest", F.md5("text"))
+    docs = (keyed.select("_digest", "text")
+            .dropDuplicates(["_digest"])
+            .select(F.col("_digest").alias("conv_id"),
+                    F.lit(0).cast("int").alias("turn_idx"), "text"))
+    ext = (docs.mapInArrow(_extract_batches, schema=EXTRACT_SCHEMA)
+           .select(F.col("conv_id").alias("_digest"),
+                   F.col("text").alias("_etext"), "spans", "n_pages",
+                   "n_objects", "bytes", "parse_error"))
+    return (keyed.drop("text").join(ext, "_digest")
+            .select("conv_id", "turn_idx",
+                    F.col("_etext").alias("text"), "spans", "n_pages",
+                    "n_objects", "bytes", "parse_error"))

@@ -148,3 +148,77 @@ def lsh_cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("probe_id", "cand_id", "cosine", "rank"))
+
+
+# ------------------------------------------------------------------ IVF
+
+def ivf_centroids(dim: int, n_centroids: int = 16,
+                  seed: int = LSH_SEED + 1) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids. Random
+    projections rather than learned k-means: assignment is continuous
+    (near-identical vectors share an argmax cell), which is what the
+    recall gate exercises; a learned codebook can be swapped in
+    without touching the plan shape."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _cell_of(vec: Column, cents: np.ndarray) -> Column:
+    """argmax_i dot(vec, centroid_i), first index on ties — replicated
+    exactly by the DuckDB oracle (list_position of list_max)."""
+    dots = F.array(*[
+        _dot(vec, F.array(*[F.lit(float(w)) for w in c])) for c in cents])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_centroids: int = 16, n_probe: int = 4,
+                    dim: int = 64) -> DataFrame:
+    """IVF-style ANN top-k: corpus vectors are assigned to their argmax
+    centroid cell (inverted file); each probe searches its n_probe
+    best cells only; exact cosine rerank on the candidates.
+
+    Scale shape: assignment is a pure codegen projection (n_centroids
+    dot folds per vector, no shuffle); the candidate join is an
+    equi-join on the int cell id (probe side broadcast); rerank cost
+    is |candidates| ≈ corpus * n_probe / n_centroids per probe.
+    """
+    cents = ivf_centroids(dim, n_centroids)
+    corpus = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        _norm(F.col(vec_col)).alias("cand_nrm"),
+        _cell_of(F.col(vec_col), cents).alias("cell"))
+    # per probe: rank all centroid cells by dot desc (cid asc ties),
+    # keep the n_probe best — row_number semantics replicated in SQL
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        _norm(F.col(vec_col)).alias("probe_nrm"))
+    cells = probes.select(
+        "probe_id", "probe_vec", "probe_nrm",
+        F.posexplode(F.array(*[
+            _dot(F.col("probe_vec"),
+                 F.array(*[F.lit(float(w)) for w in c]))
+            for c in cents])).alias("cid", "cdot"))
+    w_cells = Window.partitionBy("probe_id").orderBy(
+        F.col("cdot").desc(), F.col("cid").asc())
+    probe_cells = (cells
+                   .withColumn("crank", F.row_number().over(w_cells))
+                   .filter(F.col("crank") <= n_probe)
+                   .select("probe_id", "probe_vec", "probe_nrm",
+                           F.col("cid").alias("cell")))
+    cands = (F.broadcast(probe_cells)
+             .join(corpus, "cell")
+             .filter(F.col("probe_id") != F.col("cand_id")))
+    scored = cands.withColumn(
+        "cosine", F.round(
+            _dot(F.col("probe_vec"), F.col("cand_vec"))
+            / (F.col("probe_nrm") * F.col("cand_nrm")), 6))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("probe_id", "cand_id", "cosine", "rank"))

@@ -941,10 +941,112 @@ SELECT probe_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
 
 def ann02_lsh_topk(spark, sf_dir):
     """SRP-LSH bucketed ANN (scale path; literal seeded hyperplanes).
-    Rows-only: the hyperplane arithmetic is not worth inlining into a
-    DuckDB oracle — recall vs ann01 is asserted in tests instead."""
+    Cell-exact oracled since round 2: the DuckDB SQL regenerates the
+    same hyperplane literals and replicates bucketing, Hamming-1
+    multi-probe and the rerank window; recall vs ann01 additionally
+    asserted in tests."""
     e = _spread(_t(spark, sf_dir, "embeddings"))
     return similarity.lsh_cosine_topk(e, ANN_PROBES, k=ANN_K)
+
+
+def _plane_rows_sql(planes) -> str:
+    return ", ".join(
+        "({i}, [{v}]::DOUBLE[])".format(
+            i=i, v=", ".join(repr(float(w)) for w in p))
+        for i, p in enumerate(planes))
+
+
+_DOT_PV_SQL = ("list_reduce(list_prepend(0.0, list_transform(range(1, 65),"
+               " i -> {v}[i]::DOUBLE * {p}[i])), (x, y) -> x + y)")
+
+
+def _ann02_oracle_sql() -> str:
+    """Replicates lsh_cosine_topk exactly: SRP buckets from the seeded
+    planes, probe buckets expanded to Hamming-1, DISTINCT candidates,
+    exact-cosine rerank with (cosine DESC, cand_id ASC) row_number."""
+    planes = similarity.hyperplanes(64, 8)
+    rows = _plane_rows_sql(planes)
+    dotp = _DOT_PV_SQL.format(v="e.v", p="p.pv")
+    masks = [0] + [1 << i for i in range(8)]
+    probes = ", ".join(f"xor(bucket, {m})" for m in masks)
+    probe_list = ", ".join(str(p) for p in ANN_PROBES)
+    return f"""
+WITH planes(pid, pv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding AS v FROM embeddings),
+bk AS (
+  SELECT e.vec_id, e.v,
+         SUM(CASE WHEN {dotp} > 0 THEN (1 << p.pid) ELSE 0 END)::BIGINT
+           AS bucket
+  FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.v
+),
+px AS (SELECT vec_id AS probe_id, v AS pv,
+              unnest([{probes}]) AS jbucket
+       FROM bk WHERE vec_id IN ({probe_list})),
+cand AS (SELECT DISTINCT px.probe_id, px.pv,
+                b.vec_id AS cand_id, b.v AS cv
+         FROM px JOIN bk b ON px.jbucket = b.bucket
+                          AND px.probe_id <> b.vec_id),
+scored AS (SELECT probe_id, cand_id,
+                  {_COS_SQL.format(a='pv', b='cv')} AS cosine
+           FROM cand)
+SELECT probe_id, cand_id, cosine, rank FROM (
+  SELECT probe_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {ANN_K}
+"""
+
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ann03_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse-quantizer cells + n_probe cell search + exact
+    rerank) — the inverted-file scale path next to SRP-LSH. The
+    deterministic centroid literals make the DuckDB oracle replicate
+    assignment (argmax dot, first-index ties) and probing exactly;
+    recall on clustered data gated in tests."""
+    e = _spread(_t(spark, sf_dir, "embeddings"))
+    return similarity.ivf_cosine_topk(
+        e, ANN_PROBES, k=ANN_K,
+        n_centroids=IVF_CENTROIDS, n_probe=IVF_NPROBE)
+
+
+def _ann03_oracle_sql() -> str:
+    cents = similarity.ivf_centroids(64, IVF_CENTROIDS)
+    rows = _plane_rows_sql(cents)
+    dote = _DOT_PV_SQL.format(v="e.v", p="c.cv")
+    probe_list = ", ".join(str(p) for p in ANN_PROBES)
+    return f"""
+WITH cents(cid, cv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding AS v FROM embeddings),
+dots AS (SELECT e.vec_id, e.v, c.cid, {dote} AS d
+         FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, v, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, cid ASC) AS rn
+    FROM dots) WHERE rn = 1),
+pcells AS (SELECT vec_id AS probe_id, v AS pv, cid AS cell FROM (
+    SELECT vec_id, v, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, cid ASC) AS rn
+    FROM dots WHERE vec_id IN ({probe_list})) WHERE rn <= {IVF_NPROBE}),
+cand AS (SELECT pc.probe_id, pc.pv, a.vec_id AS cand_id, a.v AS cv
+         FROM pcells pc JOIN assign a
+           ON pc.cell = a.cell AND pc.probe_id <> a.vec_id),
+scored AS (SELECT probe_id, cand_id,
+                  {_COS_SQL.format(a='pv', b='cv')} AS cosine
+           FROM cand)
+SELECT probe_id, cand_id, cosine, rank FROM (
+  SELECT probe_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {ANN_K}
+"""
 
 
 # =====================================================================
@@ -1153,6 +1255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx07_weighted_quality": tx07_weighted_quality,
     "ann01_cosine_topk": ann01_cosine_topk,
     "ann02_lsh_topk": ann02_lsh_topk,
+    "ann03_ivf_topk": ann03_ivf_topk,
     "mm01_decode_meta": mm01_decode_meta,
     "mm02_frame_sample": mm02_frame_sample,
     "ex01_extract_turns": ex01_extract_turns,
@@ -1197,6 +1300,8 @@ ORACLES: dict[str, str] = {
     "tx07_weighted_quality": ORACLE_TX07.format(
         toks=_TOKS_SQL, sw=_EN_SW),
     "ann01_cosine_topk": ORACLE_ANN01,
+    "ann02_lsh_topk": _ann02_oracle_sql(),
+    "ann03_ivf_topk": _ann03_oracle_sql(),
     "mm01_decode_meta": ORACLE_MM01,
     "mm02_frame_sample": ORACLE_MM02,
     "ex02_golden_match": ORACLE_EX02,

@@ -313,8 +313,9 @@ def test_registry_consistency():
     # the intentionally oracle-free set is exactly the non-SQL ops
     # (ex02/ex03 gained constant golden-parity oracles in round 2;
     # dd06's SRP bucketing is fully replicated in DuckDB SQL)
+    # (ann02 gained a generated bucket-replicating oracle in round 2)
     assert set(qs) - set(oracles) == {
-        "dd03_minhash_lsh", "dd04_simhash", "ann02_lsh_topk",
+        "dd03_minhash_lsh", "dd04_simhash",
         "ex01_extract_turns", "ex04_conversation_rollup",
         "ex05_extract_images", "ex06_jpeg_sink"}
 
@@ -339,3 +340,35 @@ def test_hll_sketch_within_error(spark):
         F.countDistinct("text").alias("exact"),
         F.approx_count_distinct("text", 0.02).alias("approx")).head()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF ANN: on clustered data (the workload IVF exists for), the
+    n_probe cell search must recover >=90% of the exact top-k pairs.
+    Assignment continuity: near-identical vectors share an argmax cell."""
+    import numpy as np
+
+    from pdf_parser_spark.operators.similarity import (
+        cosine_topk, ivf_cosine_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _ in range(12):                      # 12 tight clusters
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(10):
+            v = center + rng.standard_normal(64) * 0.02
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = [0, 10, 20, 30, 40]
+
+    exact = {(r["probe_id"], r["cand_id"]) for r in
+             cosine_topk(emb, probes, k=5).collect()}
+    ivf = {(r["probe_id"], r["cand_id"]) for r in
+           ivf_cosine_topk(emb, probes, k=5, n_centroids=16,
+                           n_probe=4).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"

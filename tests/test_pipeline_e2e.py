@@ -125,3 +125,23 @@ def test_lineage_readback_prunes_to_run(spark, tmp_path):
     assert "PartitionFilters" in plan
     start = plan.index("PartitionFilters")
     assert "run_id" in plan[start:start + 200]
+
+
+def test_extract_dedup_equals_direct(spark):
+    """Distinct-document extraction (hash -> extract once -> join back)
+    must produce exactly the rows of direct per-turn extraction; the
+    fixture-cycled corpus is heavily duplicated so the kernel runs an
+    order of magnitude fewer times."""
+    from pdf_parser_spark.operators.extraction import (
+        extract_turns, extract_turns_dedup,
+    )
+
+    turns = synthetic_turns(spark, 30)
+    direct = extract_turns(turns).drop("spans")
+    dedup = extract_turns_dedup(turns).drop("spans")
+    assert direct.exceptAll(dedup).count() == 0
+    assert dedup.exceptAll(direct).count() == 0
+    # the corpus really is duplicated (the optimization has a target)
+    n_turns = turns.count()
+    n_docs = turns.select("text").distinct().count()
+    assert n_docs * 3 <= n_turns
