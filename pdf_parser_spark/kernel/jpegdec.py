@@ -163,7 +163,26 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     interleaved RGB for 3-component images (JFIF YCbCr->RGB) and
     luminance for 1-component images, matching jpeg_decoder's output
     pixel formats for the colorspaces the reference supports.
+
+    Raises only JpegError: corrupt input (truncated segments, unknown
+    scan components, missing tables) must surface as a structured
+    parse failure, never as a stray exception killing the Spark task.
     """
+    try:
+        return _decode_baseline_jpeg(data)
+    except JpegError:
+        raise
+    except (struct.error, StopIteration, KeyError, IndexError,
+            ValueError, ZeroDivisionError) as e:
+        raise JpegError(f"corrupt JPEG: {type(e).__name__}") from e
+    except _MarkerHit as e:
+        # marker (EOI/RST/next segment) encountered where entropy data
+        # was expected: truncated or corrupt scan
+        raise JpegError(f"corrupt JPEG: unexpected marker "
+                        f"0x{e.marker:04X} in scan") from e
+
+
+def _decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG (no SOI)")
     pos = 2

@@ -80,3 +80,23 @@ def test_ff_byte_stuffing_roundtrip():
         _, _, _, px = decode_baseline_jpeg(data)
         got = np.frombuffer(px, np.uint8).reshape(16, 16).astype(int)
         assert np.abs(got - img.astype(int)).max() <= 1
+
+
+def test_decoder_never_hangs_on_fuzz():
+    """Arbitrary byte soup must raise (JpegError or clean failure),
+    never hang or return garbage silently."""
+    import random
+
+    rng = random.Random(99)
+    flat = np.full((8, 8), 80, np.uint8)
+    seed = encode_baseline_jpeg(flat.tobytes(), 8, 8, 1)
+    for trial in range(60):
+        data = bytearray(seed)
+        for _ in range(rng.randrange(1, 6)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        try:
+            w, h, n, px = decode_baseline_jpeg(bytes(data))
+            assert 0 < w <= 1 << 16 and 0 < h <= 1 << 16
+            assert len(px) in (w * h, w * h * 3)
+        except (JpegError, IndexError, ValueError):
+            pass  # clean structured failure
