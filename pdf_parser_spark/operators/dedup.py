@@ -379,3 +379,66 @@ def embedding_srp_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select(F.col(f"a.{id_col}").alias("a"),
                     F.col(f"b.{id_col}").alias("b"), "cosine")
             .distinct())
+
+
+# ------------------------------------------- md5 MinHash (oracle twin)
+
+def minhash_md5_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 16,
+                      k: int = 5, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH with md5-string lanes — the cross-engine-verifiable
+    twin of ``minhash_dedup_pairs``.
+
+    xxhash64 (the fast path's permutation family) has no DuckDB
+    analogue, so dd03 is rows-only checked. This variant keeps the
+    EXACT pipeline shape (shingles -> per-lane min -> banded buckets ->
+    candidate join -> exact-jaccard verify) but derives lane values as
+    md5(lane || ':' || shingle) hex strings, minimised
+    lexicographically — a valid permutation family available in both
+    engines, so the whole LSH pipeline is cell-exact oracle-checked
+    (dd07). Slower than xxhash64 (md5 per lane per shingle); it exists
+    to pin dd03's semantics, not to replace it at scale.
+    """
+    rows_per_band = num_perm // bands
+    sh = docs.select(F.col(id_col),
+                     shingles(F.col(text_col), k).alias("sh"))
+    # one fold, element-wise lexicographic min of the lane vector;
+    # 'g' > any md5 hex char, so it is a safe +infinity sentinel
+    lanes_of = lambda s: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+    sig = F.aggregate(
+        F.col("sh"),
+        F.array_repeat(F.lit("g"), num_perm),
+        lambda acc, s: F.zip_with(acc, lanes_of(s),
+                                  lambda a, h: F.least(a, h)))
+    sigs = sh.select(F.col(id_col), sig.alias("signature"))
+    banded = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws(",", *[
+                F.element_at("signature", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)]))
+            for b in range(bands)
+        ])).alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("a"),
+                     F.col(f"b.{id_col}").alias("b"))
+             .distinct())
+    j = (cands
+         .join(sh.withColumnRenamed(id_col, "a")
+                 .withColumnRenamed("sh", "sh_a"), "a")
+         .join(sh.withColumnRenamed(id_col, "b")
+                 .withColumnRenamed("sh", "sh_b"), "b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (j.withColumn("jaccard",
+                         F.when(union > 0,
+                                inter.cast("double") / union)
+                         .otherwise(F.lit(0.0)))
+             .filter(F.col("jaccard") >= threshold)
+             .select("a", "b", "jaccard"))

@@ -672,6 +672,46 @@ FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_DUP_THRESHOLD}
 """
 
+def dd07_minhash_md5(spark, sf_dir):
+    """MinHash+LSH with md5-string lanes — same pipeline shape as dd03
+    (shingles → per-lane min → banded buckets → candidate join → exact
+    jaccard verify) but with a permutation family both engines share,
+    so the WHOLE LSH pipeline is cell-exact oracle-checked (dd03's
+    xxhash64 lanes have no DuckDB analogue → rows-only there)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return (dedup.minhash_md5_pairs(
+        d, num_perm=16, k=NGRAM_K, bands=4,
+        threshold=MINHASH_THRESHOLD)
+        .withColumn("jaccard", F.round("jaccard", 6)))
+
+
+ORACLE_DD07 = f"""
+WITH t AS ({_SH_SQL}),
+sigs AS (
+  SELECT doc_id, sh,
+         list_transform(range(0, 16), i ->
+             list_min(list_transform(sh,
+                 s -> md5(i::VARCHAR || ':' || s)))) AS sig
+  FROM t),
+banded AS (
+  SELECT doc_id, r.b AS band,
+         md5(array_to_string(sig[r.b*4+1 : r.b*4+4], ',')) AS bucket
+  FROM sigs CROSS JOIN range(0, 4) r(b)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(ta.sh, tb.sh))::DOUBLE
+           / len(list_distinct(list_concat(ta.sh, tb.sh))) AS j
+  FROM cands c JOIN t ta ON ta.doc_id = c.a
+               JOIN t tb ON tb.doc_id = c.b)
+SELECT a, b, ROUND(j, 6) AS jaccard
+FROM verified WHERE j >= {MINHASH_THRESHOLD}
+"""
+
+
 SRP_PLANES = 8
 SRP_PROBE_HAMMING = 1
 
@@ -1246,6 +1286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd04_simhash": dd04_simhash,
     "dd05_embedding_cosine": dd05_embedding_cosine,
     "dd06_embedding_srp": dd06_embedding_srp,
+    "dd07_minhash_md5": dd07_minhash_md5,
     "tx01_token_counts": tx01_token_counts,
     "tx02_quality": tx02_quality,
     "tx03_langid": tx03_langid,
@@ -1291,6 +1332,7 @@ ORACLES: dict[str, str] = {
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,
     "dd06_embedding_srp": _srp_oracle_sql(),
+    "dd07_minhash_md5": ORACLE_DD07,
     "tx01_token_counts": ORACLE_TX01,
     "tx02_quality": ORACLE_TX02,
     "tx03_langid": _langid_oracle(),
