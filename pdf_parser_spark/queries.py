@@ -488,6 +488,47 @@ FROM events e ASOF LEFT JOIN o
 """
 
 
+def q21_asof_sliced(spark, sf_dir):
+    """Skew-safe as-of join (slices=8): the hot-key timeline splits
+    across 8 time-range tasks with a boundary-carry pass. Result is
+    IDENTICAL to q19 by construction, so DuckDB's native ASOF JOIN
+    oracles the sliced execution cell-for-cell — the skew machinery is
+    driver-verified, not just pytest-verified."""
+    from pdf_parser_spark.operators.asof import asof_join
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy(F.col("o_custkey").alias("user_id"),
+                  F.col("o_orderdate").alias("ots"))
+         .agg(F.max("o_orderkey").alias("last_orderkey"),
+              F.round(F.max_by("o_totalprice", "o_orderkey") * 100)
+              .cast("long").alias("last_order_c")))
+    return asof_join(e, o, key="user_id", left_ts="ts", right_ts="ots",
+                     right_payload=["last_orderkey", "last_order_c"],
+                     slices=8)
+
+
+def q22_first_per_digest(spark, sf_dir):
+    """Batch face of the streaming dedup operator: first event per
+    (user, props-digest) under a deterministic order — the
+    keep-first-occurrence semantics dropDuplicatesWithinWatermark
+    applies incrementally."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.md5("props"), "user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    return (ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("event_id", "user_id", "ts", "event_type"))
+
+
+ORACLE_Q22 = """
+SELECT event_id, user_id, ts, event_type FROM (
+  SELECT event_id, user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY md5(props), user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
 def q20_range_join(spark, sf_dir):
     """Range join (non-equi time-interval join + equi key): for each
     'error' event, how many 'click' events the same user produced in
@@ -1239,6 +1280,35 @@ def ex05_extract_images(spark, sf_dir):
                     F.octet_length("data").alias("n_bytes")))
 
 
+def ex07_extract_dedup_parity(spark, sf_dir):
+    """Distinct-document extraction (hash → extract once → join back,
+    the dup-heavy-corpus optimization) compared per-turn against
+    direct extraction. Constant oracle: the corpus is deterministic,
+    so total/mismatched pin to (162, 0) — any divergence between the
+    two execution strategies turns CORRECTNESS red."""
+    from pdf_parser_spark.operators.extraction import (
+        extract_turns, extract_turns_dedup,
+    )
+
+    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    direct = extract_turns(turns).select(
+        "conv_id", "turn_idx", F.col("text").alias("t_direct"))
+    dedup = extract_turns_dedup(turns).select(
+        "conv_id", "turn_idx", F.col("text").alias("t_dedup"))
+    j = direct.join(dedup, ["conv_id", "turn_idx"], "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("total_turns"),
+        F.sum(F.when(
+            F.col("t_direct").eqNullSafe(F.col("t_dedup")), 0)
+            .otherwise(1)).alias("mismatched"))
+
+
+ORACLE_EX07 = """
+SELECT CAST(162 AS BIGINT) AS total_turns,
+       CAST(0 AS BIGINT) AS mismatched
+"""
+
+
 def ex06_jpeg_sink(spark, sf_dir):
     """JPEG sink parity (ref src/main.rs:36-42): extracted rasters
     re-encoded to baseline JPEG by the in-repo codec; reports per-image
@@ -1280,6 +1350,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_account_union": q18_account_union,
     "q19_asof_last_order": q19_asof_last_order,
     "q20_range_join": q20_range_join,
+    "q21_asof_sliced": q21_asof_sliced,
+    "q22_first_per_digest": q22_first_per_digest,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
@@ -1305,6 +1377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ex04_conversation_rollup": ex04_conversation_rollup,
     "ex05_extract_images": ex05_extract_images,
     "ex06_jpeg_sink": ex06_jpeg_sink,
+    "ex07_extract_dedup_parity": ex07_extract_dedup_parity,
 }
 
 ORACLES: dict[str, str] = {
@@ -1328,6 +1401,8 @@ ORACLES: dict[str, str] = {
     "q18_account_union": ORACLE_Q18,
     "q19_asof_last_order": ORACLE_Q19,
     "q20_range_join": ORACLE_Q20,
+    "q21_asof_sliced": ORACLE_Q19,   # sliced == unsliced by construction
+    "q22_first_per_digest": ORACLE_Q22,
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,
@@ -1348,6 +1423,7 @@ ORACLES: dict[str, str] = {
     "mm02_frame_sample": ORACLE_MM02,
     "ex02_golden_match": ORACLE_EX02,
     "ex03_html_extract": ORACLE_EX03,
+    "ex07_extract_dedup_parity": ORACLE_EX07,
     # dd03/dd04 (xxhash64 LSH), ann02 (literal hyperplanes), and
     # ex01-ex04 (PDF/HTML kernels) are intentionally oracle-free →
     # rows-only checks; their correctness gates live in tests/
