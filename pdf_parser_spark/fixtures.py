@@ -275,6 +275,30 @@ def pdf_image_dct():
                            v for p in IMG_GRAY_DCT for v in (p, p, p))}
 
 
+def _dct_jpeg_gray_progressive() -> bytes:
+    from .kernel.jpegdec import encode_progressive_jpeg
+    return encode_progressive_jpeg(IMG_GRAY_DCT, 16, 8, 1)
+
+
+def pdf_image_dct_progressive():
+    """PROGRESSIVE (SOF2) DCTDecode image: spectral-selection scans
+    over the same flat blocks as pdf-image-dct — must decode to the
+    identical analytically known raster."""
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>")
+    b.add(3, b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+             b"<</XObject <</Im1 6 0 R>>>>>>")
+    b.add_stream(4, b"", b"q 16 0 0 8 0 0 cm /Im1 Do Q")
+    b.add_stream(6, b"/Subtype /Image /Width 16 /Height 8 "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /DCTDecode", _dct_jpeg_gray_progressive())
+    return b.build(), {"text": "", "n_pages": 1, "n_spans": 0,
+                       "n_images": 1, "image_format": "raw-rgb",
+                       "image_data": bytes(
+                           v for p in IMG_GRAY_DCT for v in (p, p, p))}
+
+
 FAKE_JPEG = b"\xff\xd8\xff\xe0fake-jpeg-payload\xff\xd9"
 
 
@@ -503,6 +527,7 @@ FIXTURES = {
     "pdf-encoding-diff": pdf_encoding_diff,
     "pdf-image-flate": pdf_image_flate,
     "pdf-image-dct": pdf_image_dct,
+    "pdf-image-dct-prog": pdf_image_dct_progressive,
     "pdf-image-dct-smask": pdf_image_dct_smask,
     "pdf-xrefstream": pdf_xrefstream,
     "pdf-objstm": pdf_objstm,

@@ -12,10 +12,11 @@ pipeline (``PDF::extract_image``).
 - SMask anti-join         ref src/page.rs:51-74: pass 1 collects /SMask
                           refs of page XObjects, pass 2 decodes every
                           XObject NOT in the SMask set
-- DCT (JPEG) raster decode   ref src/image.rs:140-143: baseline JPEG
-  decoded to raster by the in-repo pure-Python codec (kernel/jpegdec.py,
-  implementing T.81 SOF0 from the public spec), then the same Gray->RGB
-  expansion as ``into_rgb8()``. Non-baseline JPEGs fall back to byte
+- DCT (JPEG) raster decode   ref src/image.rs:140-143: baseline,
+  extended-sequential and progressive JPEG decoded to raster by the
+  in-repo pure-Python codec (kernel/jpegdec.py, T.81 Huffman modes
+  from the public spec), then the same Gray->RGB expansion as
+  ``into_rgb8()``. Arithmetic-coded/corrupt JPEGs fall back to byte
   passthrough (``format='jpeg'``) where the reference would panic.
 
 Deviation (SURVEY.md §2.7.4): images are returned in name-sorted XObject

@@ -1,17 +1,23 @@
-"""Baseline JPEG codec (pure Python + numpy) for DCTDecode parity.
+"""JPEG codec (pure Python + numpy) for DCTDecode parity.
 
 The reference decodes DCTDecode image streams to raster with the
 ``jpeg_decoder`` crate and hands ``decode_image`` an RGB/Gray buffer
 (`/root/reference/src/image.rs:140-160`). No JPEG library ships in
-this container, so this module implements the baseline (SOF0) subset
-of ITU-T T.81 from the public spec:
+this container, so this module implements the Huffman modes of
+ITU-T T.81 from the public spec:
 
-- decoder: DQT/DHT/SOF0/SOS/DRI parsing, canonical Huffman decode,
-  dequantize + dezigzag, separable float IDCT, nearest-neighbour
-  chroma upsampling, JFIF YCbCr->RGB with round-half-away clamp.
-- encoder: 4:4:4 (or gray) baseline writer with self-defined
-  canonical Huffman tables (fixed code lengths — every table it emits
-  is declared in DHT, so any spec decoder reads it back).
+- decoder: baseline SOF0, extended sequential SOF1, and PROGRESSIVE
+  SOF2 (spectral selection + successive approximation per Annex G,
+  incl. EOB runs and AC refinement correction bits); DQT/DHT/SOS/DRI
+  parsing, canonical Huffman decode, dequantize + dezigzag, separable
+  float IDCT, nearest-neighbour chroma upsampling, JFIF YCbCr->RGB
+  with round-half-away clamp. Arithmetic-coded modes are rejected
+  with a structured JpegError.
+- encoders: 4:4:4 (or gray) baseline writer plus a spectral-selection
+  progressive writer, both with self-defined canonical Huffman tables
+  (fixed code lengths — every table emitted is declared in DHT, so
+  any spec decoder reads it back). They exist to build test fixtures
+  and for the JPEG sink.
 
 Parity strategy (documented in FIXTURES.md): IDCT rounding is
 implementation-defined within spec tolerance, so cross-decoder
@@ -192,6 +198,8 @@ def _decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    store: list[np.ndarray] | None = None
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -228,17 +236,27 @@ def _decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 tbl = _build_huffman(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (same entropy
+            # coding) / SOF2 progressive
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if progressive:
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                mcus_x = _ceil(width, 8 * hmax)
+                mcus_y = _ceil(height, 8 * vmax)
+                store = [np.zeros((mcus_y * c.v, mcus_x * c.h, 64),
+                                  dtype=np.int64) for c in comps]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X} "
-                            "(baseline SOF0 only)")
+                            "(baseline/extended/progressive Huffman only)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -249,12 +267,220 @@ def _decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 comp = next(x for x in comps if x.cid == cs)
                 comp.td, comp.ta = tdta >> 4, tdta & 0xF
                 order.append(comp)
-            pixels = _decode_scan(data, pos + seglen, order, qt,
-                                  huff_dc, huff_ac, width, height,
-                                  restart_interval)
-            return width, height, len(comps), pixels
+            if not progressive:
+                pixels = _decode_scan(data, pos + seglen, order, qt,
+                                      huff_dc, huff_ac, width, height,
+                                      restart_interval)
+                return width, height, len(comps), pixels
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos + seglen, order, comps, huff_dc, huff_ac,
+                width, height, restart_interval, store,
+                ss, se, ahal >> 4, ahal & 0xF)
+            continue
         pos += seglen
+    if progressive and store is not None:
+        pixels = _render_progressive(comps, store, qt, width, height)
+        return width, height, len(comps), pixels
     raise JpegError("no SOS marker")
+
+
+def _ceil(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+def _comp_grid(comp: _Component, comps: list[_Component],
+               width: int, height: int) -> tuple[int, int]:
+    """Non-interleaved block grid of one component (T.81 A.2.2):
+    ceil(component samples / 8) per axis."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    return (_ceil(_ceil(width * comp.h, hmax), 8),
+            _ceil(_ceil(height * comp.v, vmax), 8))
+
+
+def _decode_prog_scan(data: bytes, pos: int, order: list[_Component],
+                      comps: list[_Component], huff_dc: dict,
+                      huff_ac: dict, width: int, height: int,
+                      restart_interval: int, store: list[np.ndarray],
+                      ss: int, se: int, ah: int, al: int) -> int:
+    """Decode one progressive scan (T.81 Annex G) into the coefficient
+    store; returns the buffer position of the next marker."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = _ceil(width, 8 * hmax)
+    mcus_y = _ceil(height, 8 * vmax)
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    state = {"eobrun": 0, "units": 0}
+
+    def maybe_restart() -> None:
+        if restart_interval and state["units"] and \
+                state["units"] % restart_interval == 0:
+            reader.byte_align()
+            while data[reader.pos] == 0xFF and \
+                    0xD0 <= data[reader.pos + 1] <= 0xD7:
+                reader.pos += 2
+            for i in range(len(pred)):
+                pred[i] = 0
+            state["eobrun"] = 0
+
+    if ss == 0:
+        if se != 0:
+            raise JpegError("progressive DC scan must have Se=0")
+        if len(order) == 1:
+            comp = order[0]
+            ci = comps.index(comp)
+            nbw, nbh = _comp_grid(comp, comps, width, height)
+            for by in range(nbh):
+                for bx in range(nbw):
+                    maybe_restart()
+                    _dc_prog(reader, huff_dc, comp, ci, pred,
+                             store[ci][by, bx], ah, al)
+                    state["units"] += 1
+        else:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for comp in order:
+                        ci = comps.index(comp)
+                        for by in range(comp.v):
+                            for bx in range(comp.h):
+                                _dc_prog(
+                                    reader, huff_dc, comp, ci, pred,
+                                    store[ci][my * comp.v + by,
+                                              mx * comp.h + bx], ah, al)
+                    state["units"] += 1
+    else:
+        if len(order) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        comp = order[0]
+        ci = comps.index(comp)
+        tbl = huff_ac[comp.ta]
+        nbw, nbh = _comp_grid(comp, comps, width, height)
+        for by in range(nbh):
+            for bx in range(nbw):
+                maybe_restart()
+                zz = store[ci][by, bx]
+                if ah == 0:
+                    state["eobrun"] = _ac_first(
+                        reader, tbl, zz, ss, se, al, state["eobrun"])
+                else:
+                    state["eobrun"] = _ac_refine(
+                        reader, tbl, zz, ss, se, al, state["eobrun"])
+                state["units"] += 1
+
+    # advance to the next marker (skip pad bytes / stuffing)
+    p = reader.pos
+    n = len(data)
+    while p < n - 1 and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _dc_prog(reader: _BitReader, huff_dc: dict, comp: _Component,
+             ci: int, pred: list[int], zz: np.ndarray,
+             ah: int, al: int) -> None:
+    if ah == 0:                     # first DC scan: diffs at level Al
+        t = reader.decode_symbol(huff_dc[comp.td])
+        pred[ci] += _extend(reader.read_bits(t), t)
+        zz[0] = pred[ci] << al
+    else:                           # refinement: one bit per block
+        if reader.read_bit():
+            zz[0] |= 1 << al
+
+
+def _ac_first(reader: _BitReader, tbl: dict, zz: np.ndarray,
+              ss: int, se: int, al: int, eobrun: int) -> int:
+    """First AC scan for one block's band (G.1.2.2); returns the
+    remaining end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:             # ZRL
+                k += 16
+                continue
+            eob = (1 << r) - 1
+            if r:
+                eob += reader.read_bits(r)
+            return eob
+        k += r
+        if k > se:
+            raise JpegError("AC band overflow")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(reader: _BitReader, tbl: dict, zz: np.ndarray,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement for one block's band
+    (G.1.2.3): newly-significant coefficients arrive as +-1<<Al at
+    zero-history positions; every nonzero-history coefficient passed
+    over (and all of them during an EOB run) absorbs one correction
+    bit."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0             # ZRL: skip 16 zero-history coeffs
+            else:
+                if s != 1:
+                    raise JpegError("invalid refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        return eobrun - 1
+    return 0
+
+
+def _render_progressive(comps: list[_Component], store: list[np.ndarray],
+                        qt: dict, width: int, height: int) -> bytes:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for ci, comp in enumerate(comps):
+        bh, bw = store[ci].shape[:2]
+        q = qt[comp.tq]
+        plane = np.empty((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                block = np.zeros(64)
+                block[ZIGZAG] = store[ci][by, bx] * q
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct2(block.reshape(8, 8)) + 128.0
+        planes.append(plane)
+    return _planes_to_pixels(comps, planes, hmax, vmax, width, height)
 
 
 def _decode_scan(data: bytes, pos: int, comps: list[_Component],
@@ -298,7 +524,14 @@ def _decode_scan(data: bytes, pos: int, comps: list[_Component],
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
             mcu_count += 1
 
-    # upsample to full resolution, crop
+    return _planes_to_pixels(comps, planes, hmax, vmax, width, height)
+
+
+def _planes_to_pixels(comps: list[_Component], planes: list[np.ndarray],
+                      hmax: int, vmax: int, width: int, height: int
+                      ) -> bytes:
+    """Upsample to full resolution, crop, and colour-convert (shared
+    by the sequential and progressive paths)."""
     full = []
     for ci, comp in enumerate(comps):
         p = planes[ci]
@@ -486,4 +719,122 @@ def encode_baseline_jpeg(pixels: bytes, width: int, height: int,
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += w.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _component_coeffs(pixels: bytes, width: int, height: int,
+                      ncomp: int) -> list[np.ndarray]:
+    """Per-component quantised (unit table) zigzag coefficient grids —
+    shared front half of the baseline and progressive encoders."""
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    arr = arr.reshape(height, width, ncomp)
+    if ncomp == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    elif ncomp == 1:
+        planes = [arr[..., 0]]
+    else:
+        raise JpegError("ncomp must be 1 or 3")
+    ph = _ceil(height, 8) * 8
+    pw = _ceil(width, 8) * 8
+    out = []
+    for p in planes:
+        pp = np.empty((ph, pw))
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]
+        pp[:, width:] = pp[:, width - 1:width]
+        zzs = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coeff = np.round(_fdct2(block)).astype(np.int64)
+                zzs[by, bx] = coeff.reshape(64)[ZIGZAG]
+        out.append(zzs)
+    return out
+
+
+def _emit_ac_band(w: "_BitWriter", zz: np.ndarray, lo: int, hi: int
+                  ) -> None:
+    """Baseline-style run-length coding of zz[lo..hi] with per-block
+    EOB (valid first-AC-scan progressive coding with eobrun=1)."""
+    band = zz[lo:hi + 1]
+    nz = np.nonzero(band)[0]
+    last = int(nz[-1]) if len(nz) else -1
+    run = 0
+    for j in range(last + 1):
+        v = int(band[j])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, c = _AC_ENC[0xF0]
+            w.write(c, ln)
+            run -= 16
+        size, code = _magnitude(v)
+        ln, c = _AC_ENC[(run << 4) | size]
+        w.write(c, ln)
+        w.write(code, size)
+        run = 0
+    if last < hi - lo:
+        ln, c = _AC_ENC[0x00]       # EOB: ends exactly this block
+        w.write(c, ln)
+
+
+def encode_progressive_jpeg(pixels: bytes, width: int, height: int,
+                            ncomp: int) -> bytes:
+    """Minimal PROGRESSIVE (SOF2) encoder: spectral selection only —
+    one interleaved DC scan, then one full-band AC scan per component
+    (Ah=Al=0 everywhere). Coefficients are identical to the baseline
+    encoder's, so progressive decode must reproduce the baseline
+    decode bit-for-bit (round-trip asserted in tests)."""
+    comps_zz = _component_coeffs(pixels, width, height, ncomp)
+    bh, bw = comps_zz[0].shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, ncomp))
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, vals in ((0, _DC_BITS, _DC_VALS),
+                           (1, _AC_BITS, _AC_VALS)):
+        payload = bytes([tc << 4]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    # scan 1: interleaved DC (Ss=0 Se=0 Ah=0 Al=0)
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x00\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    w = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                dc = int(comps_zz[ci][by, bx, 0])
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                size, code = _magnitude(diff)
+                ln, c = _DC_ENC[size]
+                w.write(c, ln)
+                if size:
+                    w.write(code, size)
+    w.flush()
+    out += w.out
+
+    # scans 2..: per-component AC band 1..63
+    for ci in range(ncomp):
+        sos = bytes([1, ci + 1, 0x00]) + b"\x01\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        w = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                _emit_ac_band(w, comps_zz[ci][by, bx], 1, 63)
+        w.flush()
+        out += w.out
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -116,3 +116,15 @@ def test_jpeg_sink_roundtrip_exact():
     w, h, n, px = decode_baseline_jpeg(jpeg)
     assert (w, h, n) == (img["width"], img["height"], 3)
     assert px == golden["image_data"]
+
+
+def test_image_dct_progressive_parity():
+    """Progressive (SOF2) DCTDecode decodes through the real extraction
+    path to the same analytically known pixels as the baseline
+    fixture."""
+    pdf, golden = get_fixture("pdf-image-dct-prog")
+    res = extract_text(pdf, with_images=True)
+    assert res["parse_error"] is None
+    img = res["images"][0]
+    assert img["format"] == "raw-rgb"
+    assert img["data"] == golden["image_data"]

@@ -58,14 +58,19 @@ def test_non_multiple_of_8_dims():
     assert np.abs(got - img.astype(int)).max() <= 1
 
 
-def test_rejects_non_jpeg_and_progressive():
+def test_rejects_non_jpeg_and_malformed_progressive():
     with pytest.raises(JpegError):
         decode_baseline_jpeg(b"\xff\xd8\xff\xe0fake\xff\xd9")
-    # progressive SOF2 must be rejected, not mis-decoded
+    # SOF2 with baseline-style full-band scans is malformed progressive
+    # (DC and AC must be separate scans): structured rejection
     flat = np.full((8, 8), 80, np.uint8)
     data = bytearray(encode_baseline_jpeg(flat.tobytes(), 8, 8, 1))
     i = bytes(data).find(b"\xff\xc0")
     data[i + 1] = 0xC2
+    with pytest.raises(JpegError):
+        decode_baseline_jpeg(bytes(data))
+    # truly unsupported: arithmetic-coded SOF9
+    data[i + 1] = 0xC9
     with pytest.raises(JpegError):
         decode_baseline_jpeg(bytes(data))
 
@@ -100,3 +105,136 @@ def test_decoder_never_hangs_on_fuzz():
             assert len(px) in (w * h, w * h * 3)
         except (JpegError, IndexError, ValueError):
             pass  # clean structured failure
+
+
+def test_progressive_equals_baseline_decode():
+    """Spectral-selection progressive encode (DC scan + per-component
+    AC scans) must decode to exactly the baseline decode of the same
+    image (identical coefficients -> identical IDCT)."""
+    from pdf_parser_spark.kernel.jpegdec import encode_progressive_jpeg
+
+    rng = np.random.default_rng(8)
+    for shape, nc in [((24, 32), 1), ((16, 16), 3), ((10, 13), 1)]:
+        h, w = shape
+        size = (h, w) if nc == 1 else (h, w, 3)
+        img = rng.integers(0, 256, size=size, dtype=np.uint8)
+        base = decode_baseline_jpeg(
+            encode_baseline_jpeg(img.tobytes(), w, h, nc))
+        prog = decode_baseline_jpeg(
+            encode_progressive_jpeg(img.tobytes(), w, h, nc))
+        assert prog == base
+
+
+def test_progressive_successive_approximation_exact():
+    """Hand-built single-block stream with Al=1 first scans + Al=0
+    refinement scans (DC bit, AC newly-significant + correction bits
+    per T.81 G.1.2.3) must reconstruct the exact coefficients."""
+    import struct
+
+    from pdf_parser_spark.kernel.jpegdec import (
+        _AC_BITS, _AC_ENC, _AC_VALS, _DC_BITS, _DC_ENC, _DC_VALS,
+        ZIGZAG, _BitWriter, _idct2, _magnitude,
+    )
+
+    # zigzag-order coefficients (unit quantisation)
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0], zz[2], zz[5], zz[10], zz[63] = 100, 5, 1, -3, 7
+
+    def scan_hdr(comps, ss, se, ah, al):
+        sos = bytes([len(comps)]) + b"".join(
+            bytes([c, 0x00]) for c in comps) + bytes([ss, se,
+                                                      (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def dc_first(al):
+        w = _BitWriter()
+        v = int(zz[0]) >> al
+        size, code = _magnitude(v)
+        ln, c = _DC_ENC[size]
+        w.write(c, ln)
+        if size:
+            w.write(code, size)
+        w.flush()
+        return bytes(w.out)
+
+    def ac_first(al):
+        w = _BitWriter()
+        vals = [int(v) // (1 << al) if v >= 0 else -((-int(v)) >> al)
+                for v in zz]
+        run = 0
+        last = max(k for k in range(1, 64) if vals[k] != 0)
+        for k in range(1, last + 1):
+            if vals[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, c = _AC_ENC[0xF0]; w.write(c, ln); run -= 16
+            size, code = _magnitude(vals[k])
+            ln, c = _AC_ENC[(run << 4) | size]
+            w.write(c, ln); w.write(code, size)
+            run = 0
+        if last < 63:
+            ln, c = _AC_ENC[0x00]; w.write(c, ln)
+        w.flush()
+        return bytes(w.out)
+
+    def dc_refine(al):
+        w = _BitWriter()
+        w.write((int(zz[0]) >> al) & 1, 1)
+        w.flush()
+        return bytes(w.out)
+
+    def ac_refine(ah, al):
+        """G.1.2.3 emission for ONE block, band 1..63."""
+        w = _BitWriter()
+        hist = [int(v) // (1 << ah) if v >= 0 else -((-int(v)) >> ah)
+                for v in zz]          # values known after Ah-level scans
+        run = 0
+        pending = []                  # correction bits for passed coeffs
+        for k in range(1, 64):
+            c = int(zz[k])
+            if hist[k] != 0:          # nonzero history: correction bit
+                pending.append((abs(c) >> al) & 1)
+            elif (abs(c) >> al) == 1:  # newly significant
+                while run > 15:
+                    ln, cd = _AC_ENC[0xF0]; w.write(cd, ln)
+                    run -= 16
+                    for b in pending: w.write(b, 1)
+                    pending = []
+                ln, cd = _AC_ENC[(run << 4) | 1]
+                w.write(cd, ln)
+                w.write(1 if c > 0 else 0, 1)
+                for b in pending: w.write(b, 1)
+                pending = []
+                run = 0
+            else:
+                run += 1
+        # end of band: EOB then corrections for remaining history coeffs
+        ln, cd = _AC_ENC[0x00]
+        w.write(cd, ln)
+        for b in pending: w.write(b, 1)
+        w.flush()
+        return bytes(w.out)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, vals in ((0, _DC_BITS, _DC_VALS),
+                           (1, _AC_BITS, _AC_VALS)):
+        payload = bytes([tc << 4]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    out += scan_hdr([1], 0, 0, 0, 1) + dc_first(1)
+    out += scan_hdr([1], 1, 63, 0, 1) + ac_first(1)
+    out += scan_hdr([1], 0, 0, 1, 0) + dc_refine(0)
+    out += scan_hdr([1], 1, 63, 1, 0) + ac_refine(1, 0)
+    out += b"\xff\xd9"
+
+    w, h, n, px = decode_baseline_jpeg(bytes(out))
+    assert (w, h, n) == (8, 8, 1)
+    block = np.zeros(64)
+    block[ZIGZAG] = zz
+    expected = np.clip(np.round(_idct2(block.reshape(8, 8)) + 128.0),
+                       0, 255).astype(np.uint8)
+    got = np.frombuffer(px, np.uint8).reshape(8, 8)
+    assert np.array_equal(got, expected)
