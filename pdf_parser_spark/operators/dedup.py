@@ -460,3 +460,53 @@ def minhash_md5_pairs(docs: DataFrame, text_col: str = "text",
                          .otherwise(F.lit(0.0)))
              .filter(F.col("jaccard") >= threshold)
              .select("a", "b", "jaccard"))
+
+
+# ------------------------------------------------- duplicate components
+
+def duplicate_components(pairs: DataFrame, max_iter: int = 20
+                         ) -> DataFrame:
+    """Connected components over near-dup pairs (a, b): every doc in a
+    component maps to the component's MIN doc id — the canonical
+    'keep one representative per duplicate cluster' step after any
+    pair-producing dedup operator.
+
+    Distributed min-label propagation: each iteration joins labels
+    across edges and keeps the elementwise minimum; converges in
+    O(component diameter) rounds (duplicate clusters are near-cliques,
+    so 1-3 in practice; ``max_iter`` bounds adversarial chains). Each
+    round is one shuffle join + one aggregation — no driver-side graph.
+    Returns (doc_id, component) for every endpoint of a pair;
+    singletons (docs with no pair) are their own components by
+    definition and are omitted.
+    """
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).distinct()
+    # both sides of every per-round join: truncate lineage once, or
+    # round k re-executes rounds 1..k-1 (exponential plan growth)
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    # labels only ever DECREASE under min-propagation, so an unchanged
+    # label sum is a convergence witness — one cheap agg per round
+    # instead of a full old-vs-new join
+    prev_sum = labels.agg(F.sum("label")).head()[0]
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.dst == labels.id)
+                 .groupBy("src").agg(F.min("label").alias("nlabel")))
+        labels = (labels.join(neigh, labels.id == neigh.src, "left")
+                  .select(F.col("id"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nlabel"),
+                                             F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("label")).head()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component"))

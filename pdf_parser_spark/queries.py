@@ -713,6 +713,29 @@ FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= {COSINE_DUP_THRESHOLD}
 """
 
+def dd08_dup_components(spark, sf_dir):
+    """Connected components over near-dup pairs (min-label
+    propagation, one shuffle join + agg per round): the 'one
+    representative per duplicate cluster' step. Pairs come from the
+    exact dd02 semantics so DuckDB can rebuild the same graph; the
+    oracle computes min-reachable via a recursive CTE."""
+    pairs = dd02_ngram_jaccard(spark, sf_dir)
+    return dedup.duplicate_components(pairs)
+
+
+ORACLE_DD08 = f"""
+WITH RECURSIVE p AS (SELECT a, b FROM ({ORACLE_DD02})),
+e AS (SELECT a AS src, b AS dst FROM p
+      UNION SELECT b AS src, a AS dst FROM p),
+r(id, x) AS (
+    SELECT src, dst FROM e
+  UNION
+    SELECT r.id, e.dst FROM r JOIN e ON r.x = e.src
+)
+SELECT id AS doc_id, LEAST(id, MIN(x)) AS component FROM r GROUP BY id
+"""
+
+
 def dd07_minhash_md5(spark, sf_dir):
     """MinHash+LSH with md5-string lanes — same pipeline shape as dd03
     (shingles → per-lane min → banded buckets → candidate join → exact
@@ -1359,6 +1382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd05_embedding_cosine": dd05_embedding_cosine,
     "dd06_embedding_srp": dd06_embedding_srp,
     "dd07_minhash_md5": dd07_minhash_md5,
+    "dd08_dup_components": dd08_dup_components,
     "tx01_token_counts": tx01_token_counts,
     "tx02_quality": tx02_quality,
     "tx03_langid": tx03_langid,
@@ -1408,6 +1432,7 @@ ORACLES: dict[str, str] = {
     "dd05_embedding_cosine": ORACLE_DD05,
     "dd06_embedding_srp": _srp_oracle_sql(),
     "dd07_minhash_md5": ORACLE_DD07,
+    "dd08_dup_components": ORACLE_DD08,
     "tx01_token_counts": ORACLE_TX01,
     "tx02_quality": ORACLE_TX02,
     "tx03_langid": _langid_oracle(),

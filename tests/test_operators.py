@@ -372,3 +372,20 @@ def test_ivf_recall_on_clustered_data(spark):
                            n_probe=4).collect()}
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_duplicate_components_known_graph(spark):
+    """Chain a-b-c plus separate pair d-e plus a long chain that needs
+    multiple propagation rounds: every node maps to its component's
+    min id."""
+    from pdf_parser_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11),
+         # 8-node chain 20-21-...-27 (diameter 7: exercises iteration)
+         *[(20 + i, 21 + i) for i in range(7)]],
+        "a long, b long")
+    got = {r["doc_id"]: r["component"]
+           for r in duplicate_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   **{20 + i: 20 for i in range(8)}}
