@@ -187,6 +187,31 @@ _CM_RE = re.compile(
     rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"            # 9 operator run
     rb")?"                                            # always matches
 )
+# Object-mode master scanner: same shape, with the object-level
+# keywords as ordered alternatives (R fires on the single byte and obj
+# on the 3-byte prefix exactly like the general loop's byte checks;
+# keyword-end validation for endobj/null/true/false happens in the
+# handler). No operator-run fallback: anything else is an error, as in
+# the general loop.
+_OM_RE = re.compile(
+    rb"(?:[\x00\t\x0c ]|\r\n?|\n|%[^\r\n]*)*"         # leading skip
+    rb"(?:([0-9+\-.]+)"                               # 1 number
+    rb"|(/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"           # 2 name (incl /)
+    rb"|(<<)"                                         # 3 dict start
+    rb"|(>>)"                                         # 4 dict end
+    rb"|(<[0-9a-fA-F]*>)"                             # 5 hex string
+    rb"|(\[)"                                         # 6 arr start
+    rb"|(\])"                                         # 7 arr end
+    rb"|(\([^()\\]*\))"                               # 8 simple string
+    rb"|(R)"                                          # 9 indirect ref
+    rb"|(obj)"                                        # 10
+    rb"|(endobj)"                                     # 11
+    rb"|(stream)"                                     # 12
+    rb"|(null)"                                       # 13
+    rb"|(true)"                                       # 14
+    rb"|(false)"                                      # 15
+    rb")?"                                            # always matches
+)
 
 
 class Lexer:
@@ -250,7 +275,198 @@ class Lexer:
     def tokenize(self) -> list[Token]:
         if self.content_mode:
             return self._tokenize_content()
-        return self._tokenize_general()
+        return self._tokenize_object()
+
+    def _tokenize_object(self) -> list[Token]:
+        """Object-mode fast path: master-regex scan (_OM_RE). Token
+        streams, early-return semantics (endobj/stream), R/obj
+        backtracking, and error kinds/offsets are identical to
+        ``_tokenize_general`` — enforced by the hypothesis test
+        test_object_lexer_fast_equals_general on arbitrary bytes."""
+        buf = self.buffer
+        n = len(buf)
+        so = self.start_offset
+        tokens = self.tokens
+        append = tokens.append
+        master = _OM_RE.match
+        new = tuple.__new__
+        i = 0
+        head = 0
+
+        def err(kind: str) -> LexerError:
+            self.i, self.token_head_i = i, head
+            return LexerError(kind, so + head)
+
+        while i < n:
+            m = master(buf, i)
+            g = m.lastindex
+            if g is None:
+                e = m.end()
+                if e > i:              # whitespace / comment
+                    i = e
+                    head = i
+                    continue
+                head = i
+                b = buf[i]
+                if b == 0x28:          # string with escapes or nesting
+                    j = i + 1
+                    depth = 0
+                    while True:
+                        sm = _STR_SPECIAL_RE.search(buf, j)
+                        if sm is None:
+                            raise err("FinishInObject")
+                        k = sm.start()
+                        c = buf[k]
+                        if c == 0x5C:
+                            j = k + 2
+                            if j > n:
+                                raise err("FinishInObject")
+                        elif c == 0x28:
+                            depth += 1
+                            j = k + 1
+                        elif depth == 0:
+                            val = parse_string(buf[i + 1:k])
+                            i = k + 1
+                            append(new(Token, (TK_STR, val, so + head)))
+                            head = i
+                            break
+                        else:
+                            depth -= 1
+                            j = k + 1
+                    continue
+                if b == 0x3C:          # bad hex / truncation
+                    i += 1
+                    if i >= n:
+                        raise err("FinishInObject")
+                    i = _HEX_RUN_RE.match(buf, i).end()
+                    if i >= n:
+                        raise err("FinishInObject")
+                    raise err("UnexpectedByte")
+                if b == 0x3E:          # lone '>'
+                    i += 1
+                    raise err("FinishInObject")
+                raise err("UndefinedKeyword")
+
+            head = m.start(g)
+            i = m.end()
+            if g == 1:                 # number
+                s = m.group(1)
+                try:
+                    append(new(Token, (TK_INT, int(s), so + head)))
+                except ValueError:
+                    try:
+                        append(new(Token, (TK_REAL, float(s), so + head)))
+                    except ValueError:
+                        raise err("ParseNumber") from None
+            elif g == 2:               # name (group includes '/')
+                try:
+                    name = parse_name(m.group(2)[1:])
+                except ValueError:
+                    raise err("ParseName") from None
+                append(new(Token, (TK_NAME, name, so + head)))
+            elif g == 8:               # simple literal string
+                append(new(Token, (TK_STR, m.group(8)[1:-1], so + head)))
+            elif g == 5:               # hex string
+                try:
+                    val = parse_hex_string(m.group(5)[1:-1])
+                except ValueError:
+                    raise err("ParseHexString") from None
+                append(new(Token, (TK_HEXSTR, val, so + head)))
+            elif g == 3:
+                append(new(Token, (TK_DICT_START, None, so + head)))
+            elif g == 4:
+                append(new(Token, (TK_DICT_END, None, so + head)))
+            elif g == 6:
+                append(new(Token, (TK_ARR_START, None, so + head)))
+            elif g == 7:
+                append(new(Token, (TK_ARR_END, None, so + head)))
+            elif g == 9:               # 'R' indirect reference
+                if (len(tokens) >= 2 and tokens[-1].kind == TK_INT
+                        and tokens[-2].kind == TK_INT
+                        and tokens[-2].value > 0
+                        and tokens[-1].value >= 0):
+                    gen_tok = tokens.pop()
+                    obj_tok = tokens.pop()
+                    head = obj_tok.offset - so
+                    append(new(Token, (TK_IND_REF,
+                                       (obj_tok.value, gen_tok.value),
+                                       so + head)))
+                    head = i
+                else:
+                    if tokens:
+                        tokens.pop()
+                        if tokens:
+                            head = tokens.pop().offset - so
+                        else:
+                            head = 0
+                    else:
+                        head = 0
+                    raise err("InvalidIndirectRef")
+            elif g == 10:              # 'obj'
+                if (len(tokens) >= 2 and tokens[-1].kind == TK_INT
+                        and tokens[-2].kind == TK_INT
+                        and tokens[-2].value > 0
+                        and tokens[-1].value >= 0):
+                    gen_tok = tokens.pop()
+                    obj_tok = tokens.pop()
+                    head = obj_tok.offset - so
+                    append(new(Token, (TK_IND_OBJ_START,
+                                       (obj_tok.value, gen_tok.value),
+                                       so + head)))
+                    head = i
+                    self.has_ind_obj_start = True
+                else:
+                    if tokens:
+                        tokens.pop()
+                        if tokens:
+                            head = tokens.pop().offset - so
+                        else:
+                            head = 0
+                    else:
+                        head = 0
+                    raise err("InvalidIndirectObj")
+            elif g == 11:              # 'endobj' stops the lexer
+                if i < n and buf[i] not in _IRREGULAR:
+                    raise err("UndefinedKeyword")
+                append(new(Token, (TK_IND_OBJ_END, None, so + head)))
+                head = i
+                self.has_ind_obj_end = True
+                self.i, self.token_head_i = i, head
+                return tokens
+            elif g == 12:              # 'stream' records data offset
+                st = head
+                if n - (st + 5) < 3:
+                    raise err("ConfirmStream")
+                j = st + 6
+                if buf.startswith(b"\n", j):
+                    data_off = j + 1
+                elif buf.startswith(b"\r\n", j):
+                    data_off = j + 2
+                else:
+                    raise err("UnexpectedByte")
+                append(new(Token, (TK_IND_OBJ_END, None, so + head)))
+                self.has_ind_obj_end = True
+                i = data_off
+                append(new(Token, (TK_STREAM_START, so + data_off,
+                                   so + data_off)))
+                self.i, self.token_head_i = i, i
+                return tokens
+            elif g == 13:              # null
+                if i < n and buf[i] not in _IRREGULAR:
+                    raise err("UndefinedKeyword")
+                append(new(Token, (TK_NULL, None, so + head)))
+            elif g == 14:              # true
+                if i < n and buf[i] not in _IRREGULAR:
+                    raise err("UndefinedKeyword")
+                append(new(Token, (TK_BOOL, True, so + head)))
+            else:                      # g == 15: false
+                if i < n and buf[i] not in _IRREGULAR:
+                    raise err("UndefinedKeyword")
+                append(new(Token, (TK_BOOL, False, so + head)))
+            head = i
+
+        self.i, self.token_head_i = i, head
+        return tokens
 
     def _tokenize_content(self) -> list[Token]:
         """Content-mode fast path: master-regex scan (see _CM_RE).

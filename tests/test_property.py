@@ -277,3 +277,49 @@ def test_fused_interpreter_matches_token_loop(parts):
         [(s.page, s.font, s.text) for s in spans]
     for a, b in zip(got, spans):
         assert abs(a.x - b.x) < 1e-9 and abs(a.y - b.y) < 1e-9
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.binary(min_size=1, max_size=400))
+def test_object_lexer_fast_equals_general_random(data):
+    """Object-mode master-regex lexer vs the general branch loop:
+    identical tokens / flags / errors / error offsets on ANY bytes."""
+    from pdf_parser_spark.kernel.cos import Lexer, LexerError
+
+    def run(method):
+        lx = Lexer(data, 7, content_mode=False)   # nonzero start_offset
+        try:
+            toks = getattr(lx, method)()
+            return ("ok", toks, lx.has_ind_obj_start, lx.has_ind_obj_end)
+        except LexerError as e:
+            return ("err", e.kind, e.offset)
+
+    assert run("_tokenize_object") == run("_tokenize_general")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(
+    [b"3 0 obj", b"endobj", b"<< /Length 12 0 R >>", b"1 0 R",
+     b"[ 1 2.5 (s) <AB> ]", b"null", b"true", b"false", b"/Name",
+     b"stream\nDATA", b"% c\n", b"12", b"-4.5", b"(nested (p)) ",
+     b"5 -1 R", b"0 0 R", b"R", b"objx", b"endobjx", b"streamx",
+     b"nullx", b"<<>>", b">>"]),
+    min_size=1, max_size=20))
+def test_object_lexer_fast_equals_general_structured(parts):
+    """Same differential over realistic object-stream snippets that
+    exercise R/obj backtracking, early returns, and keyword-end
+    errors."""
+    from pdf_parser_spark.kernel.cos import Lexer, LexerError
+
+    data = b" ".join(parts)
+
+    def run(method):
+        lx = Lexer(data, 0, content_mode=False)
+        try:
+            toks = getattr(lx, method)()
+            return ("ok", toks, lx.has_ind_obj_start, lx.has_ind_obj_end,
+                    lx.i, lx.token_head_i)
+        except LexerError as e:
+            return ("err", e.kind, e.offset)
+
+    assert run("_tokenize_object") == run("_tokenize_general")
