@@ -339,7 +339,6 @@ class ContentInterpreter:
         buf = content
         n = len(buf)
         i = 0
-        head = 0
         master = _CM_RE.match
         operands_append = operands.append
         operands_clear = operands.clear
@@ -349,8 +348,8 @@ class ContentInterpreter:
         # out-of-line keyword/ID handling
         op_memo: dict[bytes, object] = {}
 
-        def lex_err(kind: str) -> LexerError:
-            return LexerError(kind, head)
+        def lex_err(kind: str, off: int) -> LexerError:
+            return LexerError(kind, off)
 
         while i < n:
             m = master(buf, i)
@@ -360,21 +359,21 @@ class ContentInterpreter:
                 if e > i:              # whitespace / comment
                     i = e
                     continue
-                head = i
                 b = buf[i]
                 if b == 0x28:          # string with escapes or nesting
                     j = i + 1
                     depth = 0
+                    start = i
                     while True:
                         sm = _STR_SPECIAL_RE.search(buf, j)
                         if sm is None:
-                            raise lex_err("FinishInObject")
+                            raise lex_err("FinishInObject", start)
                         k = sm.start()
                         c = buf[k]
                         if c == 0x5C:
                             j = k + 2
                             if j > n:
-                                raise lex_err("FinishInObject")
+                                raise lex_err("FinishInObject", start)
                         elif c == 0x28:
                             depth += 1
                             j = k + 1
@@ -388,17 +387,17 @@ class ContentInterpreter:
                             j = k + 1
                     continue
                 if b == 0x3C:          # bad hex / truncation
+                    start = i
                     i += 1
                     if i >= n:
-                        raise lex_err("FinishInObject")
+                        raise lex_err("FinishInObject", start)
                     i = _HEX_RUN_RE.match(buf, i).end()
                     if i >= n:
-                        raise lex_err("FinishInObject")
-                    raise lex_err("UnexpectedByte")
+                        raise lex_err("FinishInObject", start)
+                    raise lex_err("UnexpectedByte", start)
                 if b == 0x3E:          # lone '>'
-                    raise lex_err("FinishInObject")
-                raise lex_err("UndefinedKeyword")
-            head = i
+                    raise lex_err("FinishInObject", i)
+                raise lex_err("UndefinedKeyword", i)
             i = m.end()
             if g != 9:                 # operand token
                 if g == 1:             # number
@@ -409,7 +408,7 @@ class ContentInterpreter:
                         try:
                             operands_append((TK_REAL, float(s)))
                         except ValueError:
-                            raise lex_err("ParseNumber") from None
+                            raise lex_err("ParseNumber", m.start(1)) from None
                 elif g == 8:           # simple literal string
                     operands_append((TK_STR, m.group(8)[1:-1]))
                 elif g == 2:           # name
@@ -417,13 +416,13 @@ class ContentInterpreter:
                         operands_append((TK_NAME,
                                          parse_name(m.group(2)[1:])))
                     except ValueError:
-                        raise lex_err("ParseName") from None
+                        raise lex_err("ParseName", m.start(2)) from None
                 elif g == 5:           # hex string
                     try:
                         operands_append(
                             (TK_HEXSTR, parse_hex_string(m.group(5)[1:-1])))
                     except ValueError:
-                        raise lex_err("ParseHexString") from None
+                        raise lex_err("ParseHexString", m.start(5)) from None
                 elif g == 3:
                     operands_append((TK_DICT_START, None))
                 elif g == 4:
@@ -469,7 +468,7 @@ class ContentInterpreter:
                             break
                         k = buf.find(b"EI", k + 1)
                     if k == -1:
-                        raise lex_err("UnterminatedInlineImage")
+                        raise lex_err("UnterminatedInlineImage", m.start(9))
                     i = k + 2
                     continue
                 raise lex_err("UndefinedKeyword")
@@ -570,21 +569,20 @@ def spans_to_text(spans: list[TextSpan]) -> str:
     page_texts = []
     for page in sorted(by_page):
         rows = by_page[page]
-        # stable descending sort by line key: spans emitted in content
-        # order keep order when y ties (reverse=True preserves the
-        # relative order of equal keys)
+        # two stable passes == (sort lines by key desc, then each line
+        # by x): x first, then line key desc — reverse=True preserves
+        # the relative (x-sorted, emission) order of equal keys
+        rows.sort(key=key1)
         rows.sort(key=key0, reverse=True)
-        lines: list[list[tuple[int, float, str]]] = []
-        cur_key = None
-        for r in rows:
-            if cur_key is None or r[0] != cur_key:
-                lines.append([r])
-                cur_key = r[0]
-            else:
-                lines[-1].append(r)
         line_texts = []
-        for line in lines:
-            line.sort(key=key1)
-            line_texts.append("".join(r[2] for r in line))
+        cur_key = None
+        parts: list[str] = []
+        for r in rows:
+            if cur_key is not None and r[0] != cur_key:
+                line_texts.append("".join(parts))
+                parts = []
+            cur_key = r[0]
+            parts.append(r[2])
+        line_texts.append("".join(parts))
         page_texts.append("\n".join(line_texts))
     return "\n".join(page_texts)
