@@ -1332,6 +1332,35 @@ SELECT CAST(162 AS BIGINT) AS total_turns,
 """
 
 
+def ex08_per_turn_golden(spark, sf_dir):
+    """PER-TURN extraction parity, driver-visible: one row per turn
+    with the extracted text length and page/span counts. The oracle is
+    a VALUES table generated from the same pure-Python golden corpus
+    the pytest gates use (fixture metadata — independent of the
+    kernel), so ANY single turn whose extraction drifts flips the
+    value hash. Finer-grained than ex02's aggregate."""
+    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    out = extract_turns(turns)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.length("text").cast("int").alias("text_len"),
+        F.col("n_pages"),
+        F.size("spans").alias("n_spans"))
+
+
+def _ex08_oracle_sql() -> str:
+    from pdf_parser_spark.sources.turns import _conv_turns
+
+    rows = []
+    for i in range(EXTRACT_N_CONVS):
+        for conv_id, t, _fid, _pdf, g, _b in _conv_turns(i, 0):
+            rows.append(f"('{conv_id}', {t}, {len(g['text'])}, "
+                        f"{g['n_pages']}, {g['n_spans']})")
+    return ("SELECT conv_id, turn_idx, text_len, n_pages, n_spans "
+            "FROM (VALUES " + ", ".join(rows) +
+            ") AS t(conv_id, turn_idx, text_len, n_pages, n_spans)")
+
+
 def ex06_jpeg_sink(spark, sf_dir):
     """JPEG sink parity (ref src/main.rs:36-42): extracted rasters
     re-encoded to baseline JPEG by the in-repo codec; reports per-image
@@ -1402,6 +1431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ex05_extract_images": ex05_extract_images,
     "ex06_jpeg_sink": ex06_jpeg_sink,
     "ex07_extract_dedup_parity": ex07_extract_dedup_parity,
+    "ex08_per_turn_golden": ex08_per_turn_golden,
 }
 
 ORACLES: dict[str, str] = {
@@ -1449,6 +1479,7 @@ ORACLES: dict[str, str] = {
     "ex02_golden_match": ORACLE_EX02,
     "ex03_html_extract": ORACLE_EX03,
     "ex07_extract_dedup_parity": ORACLE_EX07,
+    "ex08_per_turn_golden": _ex08_oracle_sql(),
     # dd03/dd04 (xxhash64 LSH), ann02 (literal hyperplanes), and
     # ex01-ex04 (PDF/HTML kernels) are intentionally oracle-free →
     # rows-only checks; their correctness gates live in tests/
