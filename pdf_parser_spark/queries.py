@@ -1361,6 +1361,34 @@ def _ex08_oracle_sql() -> str:
             ") AS t(conv_id, turn_idx, text_len, n_pages, n_spans)")
 
 
+def ex09_html_per_turn_golden(spark, sf_dir):
+    """PER-TURN HTML extraction parity: extracted title + main-text
+    length per turn vs a VALUES oracle from the pure-Python golden
+    page builder (independent of the extraction kernel)."""
+    from pdf_parser_spark.operators.html_extract import extract_html_turns
+    from pdf_parser_spark.sources.html_turns import html_turns
+
+    turns = html_turns(spark, EXTRACT_N_CONVS, partitions=8)
+    out = extract_html_turns(turns)
+    return out.select(
+        "conv_id", "turn_idx", "title",
+        F.length("text").cast("int").alias("text_len"))
+
+
+def _ex09_oracle_sql() -> str:
+    from pdf_parser_spark.sources.html_turns import build_page
+
+    rows = []
+    for i in range(EXTRACT_N_CONVS):
+        for t in range(2):
+            _html, golden, title = build_page(i, t)
+            tq = title.replace("'", "''")
+            rows.append(f"('hconv-{i:06d}', {t}, '{tq}', {len(golden)})")
+    return ("SELECT conv_id, turn_idx, title, text_len "
+            "FROM (VALUES " + ", ".join(rows) +
+            ") AS t(conv_id, turn_idx, title, text_len)")
+
+
 def ex06_jpeg_sink(spark, sf_dir):
     """JPEG sink parity (ref src/main.rs:36-42): extracted rasters
     re-encoded to baseline JPEG by the in-repo codec; reports per-image
@@ -1432,6 +1460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ex06_jpeg_sink": ex06_jpeg_sink,
     "ex07_extract_dedup_parity": ex07_extract_dedup_parity,
     "ex08_per_turn_golden": ex08_per_turn_golden,
+    "ex09_html_per_turn_golden": ex09_html_per_turn_golden,
 }
 
 ORACLES: dict[str, str] = {
@@ -1480,6 +1509,7 @@ ORACLES: dict[str, str] = {
     "ex03_html_extract": ORACLE_EX03,
     "ex07_extract_dedup_parity": ORACLE_EX07,
     "ex08_per_turn_golden": _ex08_oracle_sql(),
+    "ex09_html_per_turn_golden": _ex09_oracle_sql(),
     # dd03/dd04 (xxhash64 LSH), ann02 (literal hyperplanes), and
     # ex01-ex04 (PDF/HTML kernels) are intentionally oracle-free →
     # rows-only checks; their correctness gates live in tests/
