@@ -566,6 +566,24 @@ GROUP BY e.event_id, e.user_id
 # Dedup family (documents corpus)
 # =====================================================================
 
+def q23_session_window(spark, sf_dir):
+    """Sessionization via Spark's NATIVE session_window (dynamic-gap
+    session windows, Spark 3.2+): same gap semantics as q12's
+    lag+cumsum formulation (an event within ``gap`` of the previous
+    one extends the session), so the SAME DuckDB oracle pins both —
+    two independent Spark plans and one SQL definition agreeing
+    cell-for-cell. The native form is also the streaming-friendly one
+    (session_window works under watermarks with state merging)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id", F.session_window("ts", "3600 seconds"))
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000).cast("long"))
+                 .alias("value_milli"))
+            .drop("session_window"))
+
+
 def q12_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (batch face of the
     applyInPandasWithState operator in streaming/sessionize.py — the
@@ -698,7 +716,14 @@ ROUND(
 
 
 def dd05_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label."""
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Deliberately the EXACT quadratic-per-block variant (the dd02 role
+    for embeddings): it exists to be oracle-checkable cell-for-cell
+    and to pin the verify semantics. The SCALE path is dd06
+    (SRP-LSH-bucketed, also cell-exact oracled) — at 100 TB a hot
+    label makes this one O(n_label^2) while dd06's bucket join stays
+    uniform."""
     e = _spread(_t(spark, sf_dir, "embeddings"))
     pairs = dedup.embedding_cosine_pairs(
         e, threshold=COSINE_DUP_THRESHOLD)
@@ -1432,6 +1457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_range_join": q20_range_join,
     "q21_asof_sliced": q21_asof_sliced,
     "q22_first_per_digest": q22_first_per_digest,
+    "q23_session_window": q23_session_window,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
@@ -1486,6 +1512,7 @@ ORACLES: dict[str, str] = {
     "q20_range_join": ORACLE_Q20,
     "q21_asof_sliced": ORACLE_Q19,   # sliced == unsliced by construction
     "q22_first_per_digest": ORACLE_Q22,
+    "q23_session_window": ORACLE_Q12,  # same session semantics
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,

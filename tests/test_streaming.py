@@ -141,3 +141,47 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # batch oracle agrees on the digest set
     batch = dedup_batch(turns)
     assert batch.count() == n_digests
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the same join run in
+    batch, and its per-error counts == the q20 batch range join for
+    errors with >=1 preceding click."""
+    from pdf_parser_spark.queries import q20_range_join
+    from pdf_parser_spark.streaming.interval_join_stream import (
+        clicks_before_errors,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("testdata missing")
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    import shutil
+    shutil.copy(src, src_dir / "part-0.parquet")
+    batch_events = spark.read.parquet(str(src_dir))
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(
+        str(src_dir))
+    q = (clicks_before_errors(stream)
+         .writeStream.format("memory").queryName("ssj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = {tuple(r) for r in
+           spark.sql("select error_id, click_id from ssj").collect()}
+
+    expected = {(r["error_id"], r["click_id"]) for r in
+                clicks_before_errors(batch_events).collect()}
+    assert got == expected
+    assert len(got) > 0
+
+    # per-error counts line up with the oracled batch range join
+    from collections import Counter
+    per_error = Counter(e for e, _ in got)
+    q20 = {r["event_id"]: r["clicks_prev_hour"] for r in
+           q20_range_join(spark, str("/root/testdata/sf0.001")).collect()}
+    for eid, cnt in per_error.items():
+        assert q20[eid] == cnt
