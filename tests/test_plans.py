@@ -1,0 +1,77 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+PLANS.md documents, asserted on the executed plans so optimizer or
+query refactors can't silently regress them."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qreg():
+    from pdf_parser_spark.queries import QUERIES
+    return QUERIES
+
+
+def test_q01_pushdown_and_pruning(spark, qreg):
+    plan = _plan(qreg["q01_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    # column pruning: the 16-column lineitem scan reads only what's used
+    rs = plan[plan.index("ReadSchema"):][:400]
+    assert "l_comment" not in rs and "l_partkey" not in rs
+    # map-side partial aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q02_star_join_broadcasts_dims(spark, qreg):
+    plan = _plan(qreg["q02_revenue_by_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan  # fact table never shuffles
+
+
+def test_q15_has_no_driver_broadcast_of_aggregate(spark, qreg):
+    plan = _plan(qreg["q15_orders_above_cust_avg"](spark, SF))
+    assert "BroadcastExchange" not in plan
+    assert "Window" in plan
+
+
+def test_q04_semi_join_with_pushed_predicates(spark, qreg):
+    plan = _plan(qreg["q04_building_customers_with_orders"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
+
+
+def test_extraction_projection_is_narrow(spark):
+    from pdf_parser_spark.operators.extraction import extract_turns
+    from pdf_parser_spark.sources.turns import synthetic_turns
+
+    df = extract_turns(synthetic_turns(spark, 3))
+    plan = _plan(df)
+    # exactly one extraction boundary node, fed by a projection of
+    # exactly (conv_id, turn_idx, text) — role/tool/ts never cross
+    assert plan.count("MapInArrow") == 1
+    import re
+    proj = re.search(r"Project \[conv_id#\d+, turn_idx#\d+, text#\d+\]",
+                     plan)
+    assert proj is not None, plan
+
+
+def test_dd03_signature_pipeline_not_duplicated(spark):
+    """The LSH candidate stage must not evaluate the shingle+signature
+    pipeline twice (the round-2 groupBy rework): exactly one xxhash64
+    signature fold appears in the plan."""
+    from pdf_parser_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, num_perm=8, k=2)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    plan = _plan(cands)
+    assert plan.count("aggregate(sh#") <= plan.count("Scan parquet") * 1
+    # one scan of the documents table, not two
+    assert plan.count("documents.parquet") == 1
