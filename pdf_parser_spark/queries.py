@@ -874,6 +874,30 @@ FROM documents
 """
 
 
+CURATION_K = 100
+CURATION_QUALITY_MIN = 0.5
+
+
+def cp01_curation_pipeline(spark, sf_dir):
+    """Composed training-data curation flow — the end-to-end shape a
+    100 TB pipeline runs: exact-dedup (keep min-id representative) →
+    quality scoring → language filter → quality floor → global top-K
+    token budget (TakeOrdered, not a full sort). Every stage is
+    SQL-expressible, so the WHOLE composition is cell-exact oracled."""
+    d = _t(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup(d).select("doc_id")
+    q = tx.with_quality(d).join(keep, "doc_id", "left_semi")
+    filt = q.filter((F.col("lang") == "en")
+                    & (F.col("quality_score") >= CURATION_QUALITY_MIN))
+    top = filt.orderBy(F.col("quality_score").desc(),
+                       F.col("doc_id").asc()).limit(CURATION_K)
+    w = Window.orderBy(F.col("quality_score").desc(),
+                       F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "lang", "n_tokens", "quality_score",
+                    "rank"))
+
+
 def tx02_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return tx.with_quality(d).select(
@@ -912,6 +936,24 @@ SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens,
                           ELSE 0.0 END) * 4, 1.0)))), 6)
     AS quality_score
 FROM f
+"""
+
+
+ORACLE_CP01 = f"""
+WITH qual AS ({ORACLE_TX02}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+cand AS (
+  SELECT d.doc_id, d.lang, q.n_tokens, q.quality_score
+  FROM documents d
+  JOIN qual q USING (doc_id)
+  JOIN keep USING (doc_id)
+  WHERE d.lang = 'en' AND q.quality_score >= {CURATION_QUALITY_MIN})
+SELECT doc_id, lang, n_tokens, quality_score, rank FROM (
+  SELECT doc_id, lang, n_tokens, quality_score,
+         ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id ASC)
+           AS rank
+  FROM cand)
+WHERE rank <= {CURATION_K}
 """
 
 
@@ -1466,6 +1508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd06_embedding_srp": dd06_embedding_srp,
     "dd07_minhash_md5": dd07_minhash_md5,
     "dd08_dup_components": dd08_dup_components,
+    "cp01_curation_pipeline": cp01_curation_pipeline,
     "tx01_token_counts": tx01_token_counts,
     "tx02_quality": tx02_quality,
     "tx03_langid": tx03_langid,
@@ -1519,6 +1562,7 @@ ORACLES: dict[str, str] = {
     "dd06_embedding_srp": _srp_oracle_sql(),
     "dd07_minhash_md5": ORACLE_DD07,
     "dd08_dup_components": ORACLE_DD08,
+    "cp01_curation_pipeline": ORACLE_CP01,
     "tx01_token_counts": ORACLE_TX01,
     "tx02_quality": ORACLE_TX02,
     "tx03_langid": _langid_oracle(),
