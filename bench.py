@@ -38,6 +38,9 @@ HEADLINE = [
     "tx04_fingerprint",
     "ann01_cosine_topk",
     "ann02_lsh_topk",
+    "ann03_ivf_topk",
+    "q23_session_window",
+    "cp01_curation_pipeline",
     "mm01_decode_meta",
     "mm02_frame_sample",
 ]

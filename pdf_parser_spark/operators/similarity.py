@@ -164,11 +164,24 @@ def ivf_centroids(dim: int, n_centroids: int = 16,
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def _cents_lit(cents: np.ndarray) -> Column:
+    return F.array(*[F.array(*[F.lit(float(w)) for w in c])
+                     for c in cents])
+
+
+def _cent_dots(vec: Column, cents: np.ndarray) -> Column:
+    """Per-centroid dot products as ONE transform over a nested
+    literal matrix — n_centroids separate top-level fold expressions
+    blow the whole-stage-codegen method-size limit into interpreted
+    evaluation (the measured round-1 cliff); this compact form stays
+    codegen'd. Identical values, identical fold order."""
+    return F.transform(_cents_lit(cents), lambda cv: _dot(vec, cv))
+
+
 def _cell_of(vec: Column, cents: np.ndarray) -> Column:
     """argmax_i dot(vec, centroid_i), first index on ties — replicated
-    exactly by the DuckDB oracle (list_position of list_max)."""
-    dots = F.array(*[
-        _dot(vec, F.array(*[F.lit(float(w)) for w in c])) for c in cents])
+    exactly by the DuckDB oracle (row_number over d DESC, cid ASC)."""
+    dots = _cent_dots(vec, cents)
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
@@ -199,10 +212,8 @@ def ivf_cosine_topk(emb: DataFrame, probe_ids: list[int], k: int = 5,
         _norm(F.col(vec_col)).alias("probe_nrm"))
     cells = probes.select(
         "probe_id", "probe_vec", "probe_nrm",
-        F.posexplode(F.array(*[
-            _dot(F.col("probe_vec"),
-                 F.array(*[F.lit(float(w)) for w in c]))
-            for c in cents])).alias("cid", "cdot"))
+        F.posexplode(_cent_dots(F.col("probe_vec"), cents))
+        .alias("cid", "cdot"))
     w_cells = Window.partitionBy("probe_id").orderBy(
         F.col("cdot").desc(), F.col("cid").asc())
     probe_cells = (cells
