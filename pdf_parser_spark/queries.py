@@ -584,6 +584,51 @@ def q23_session_window(spark, sf_dir):
             .drop("session_window"))
 
 
+def q24_pivot_segment_priority(spark, sf_dir):
+    """Pivot (wide reshape): customer-segment rows x order-priority
+    columns of integer-cent revenue. Spark's groupBy().pivot() with an
+    explicit value list (scale note: ALWAYS pass the value list — the
+    implicit form runs an extra distinct job over the corpus to
+    discover columns); DuckDB oracles it as conditional aggregation."""
+    pr = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                o.o_custkey == c.c_custkey)
+         .withColumn("price_c",
+                     F.round(F.col("o_totalprice") * 100).cast("long")))
+    piv = (j.groupBy("c_mktsegment")
+           .pivot("o_orderpriority", pr)
+           .sum("price_c"))
+    cols = {p: f"rev_{p[0]}" for p in pr}
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(cols[p])
+          for p in pr])
+
+
+ORACLE_Q24 = """
+SELECT c.c_mktsegment,
+       COALESCE(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                THEN CAST(ROUND(o.o_totalprice*100) AS BIGINT) END), 0)::BIGINT
+         AS rev_1,
+       COALESCE(SUM(CASE WHEN o.o_orderpriority = '2-HIGH'
+                THEN CAST(ROUND(o.o_totalprice*100) AS BIGINT) END), 0)::BIGINT
+         AS rev_2,
+       COALESCE(SUM(CASE WHEN o.o_orderpriority = '3-MEDIUM'
+                THEN CAST(ROUND(o.o_totalprice*100) AS BIGINT) END), 0)::BIGINT
+         AS rev_3,
+       COALESCE(SUM(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED'
+                THEN CAST(ROUND(o.o_totalprice*100) AS BIGINT) END), 0)::BIGINT
+         AS rev_4,
+       COALESCE(SUM(CASE WHEN o.o_orderpriority = '5-LOW'
+                THEN CAST(ROUND(o.o_totalprice*100) AS BIGINT) END), 0)::BIGINT
+         AS rev_5
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def q12_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (batch face of the
     applyInPandasWithState operator in streaming/sessionize.py — the
@@ -1500,6 +1545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_asof_sliced": q21_asof_sliced,
     "q22_first_per_digest": q22_first_per_digest,
     "q23_session_window": q23_session_window,
+    "q24_pivot_segment_priority": q24_pivot_segment_priority,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
@@ -1556,6 +1602,7 @@ ORACLES: dict[str, str] = {
     "q21_asof_sliced": ORACLE_Q19,   # sliced == unsliced by construction
     "q22_first_per_digest": ORACLE_Q22,
     "q23_session_window": ORACLE_Q12,  # same session semantics
+    "q24_pivot_segment_priority": ORACLE_Q24,
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,
