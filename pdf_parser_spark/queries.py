@@ -629,6 +629,25 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q25_unpivot_roundtrip(spark, sf_dir):
+    """Unpivot (melt, the inverse reshape): q24's wide frame back to
+    (segment, priority-bucket, revenue) long form via
+    DataFrame.unpivot — wide->long without a shuffle (a projection +
+    explode under the hood)."""
+    wide = q24_pivot_segment_priority(spark, sf_dir)
+    rev_cols = [c for c in wide.columns if c != "c_mktsegment"]
+    return wide.unpivot("c_mktsegment", rev_cols, "priority", "rev_c")
+
+
+ORACLE_Q25 = f"""
+WITH w AS ({ORACLE_Q24})
+SELECT c_mktsegment, p.priority, p.rev_c FROM w,
+LATERAL (VALUES ('rev_1', w.rev_1), ('rev_2', w.rev_2),
+                ('rev_3', w.rev_3), ('rev_4', w.rev_4),
+                ('rev_5', w.rev_5)) AS p(priority, rev_c)
+"""
+
+
 def q12_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (batch face of the
     applyInPandasWithState operator in streaming/sessionize.py — the
@@ -1546,6 +1565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_first_per_digest": q22_first_per_digest,
     "q23_session_window": q23_session_window,
     "q24_pivot_segment_priority": q24_pivot_segment_priority,
+    "q25_unpivot_roundtrip": q25_unpivot_roundtrip,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
@@ -1603,6 +1623,7 @@ ORACLES: dict[str, str] = {
     "q22_first_per_digest": ORACLE_Q22,
     "q23_session_window": ORACLE_Q12,  # same session semantics
     "q24_pivot_segment_priority": ORACLE_Q24,
+    "q25_unpivot_roundtrip": ORACLE_Q25,
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
     "dd05_embedding_cosine": ORACLE_DD05,
