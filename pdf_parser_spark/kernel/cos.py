@@ -214,6 +214,60 @@ _OM_RE = re.compile(
 )
 
 
+class _FallbackErr(Exception):
+    """Internal: error kind from the shared fallback scanner; callers
+    convert to LexerError with their own offset/state handling."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+
+
+def _scan_literal_string(buf: bytes, i: int, n: int) -> tuple[bytes, int]:
+    """Shared fallback for all master-regex scanners: scan a literal
+    string WITH escapes or nesting starting at the '(' at ``i``;
+    returns (parsed value, index after ')'). Raises _FallbackErr on
+    truncation. One implementation — the content/object lexers and the
+    fused interpreter all call this (a diverged copy already caused a
+    real bug once)."""
+    j = i + 1
+    depth = 0
+    while True:
+        sm = _STR_SPECIAL_RE.search(buf, j)
+        if sm is None:
+            raise _FallbackErr("FinishInObject")
+        k = sm.start()
+        c = buf[k]
+        if c == 0x5C:               # backslash: skip escaped byte
+            j = k + 2
+            if j > n:
+                raise _FallbackErr("FinishInObject")
+        elif c == 0x28:
+            depth += 1
+            j = k + 1
+        elif depth == 0:            # closing ')'
+            return parse_string(buf[i + 1:k]), k + 1
+        else:
+            depth -= 1
+            j = k + 1
+
+
+def _fallback_error_kind(buf: bytes, i: int, n: int) -> tuple[str, int]:
+    """Classify a non-string fallback byte exactly like the general
+    loop: returns (error kind, cursor position after any probing)."""
+    b = buf[i]
+    if b == 0x3C:                   # bad hex / truncation
+        p = i + 1
+        if p >= n:
+            return "FinishInObject", p
+        p = _HEX_RUN_RE.match(buf, p).end()
+        if p >= n:
+            return "FinishInObject", p
+        return "UnexpectedByte", p
+    if b == 0x3E:                   # lone '>'
+        return "FinishInObject", i + 1
+    return "UndefinedKeyword", i
+
+
 class Lexer:
     """Single-pass COS tokenizer (ref src/lexer.rs:215-688).
 
@@ -307,45 +361,16 @@ class Lexer:
                     head = i
                     continue
                 head = i
-                b = buf[i]
-                if b == 0x28:          # string with escapes or nesting
-                    j = i + 1
-                    depth = 0
-                    while True:
-                        sm = _STR_SPECIAL_RE.search(buf, j)
-                        if sm is None:
-                            raise err("FinishInObject")
-                        k = sm.start()
-                        c = buf[k]
-                        if c == 0x5C:
-                            j = k + 2
-                            if j > n:
-                                raise err("FinishInObject")
-                        elif c == 0x28:
-                            depth += 1
-                            j = k + 1
-                        elif depth == 0:
-                            val = parse_string(buf[i + 1:k])
-                            i = k + 1
-                            append(new(Token, (TK_STR, val, so + head)))
-                            head = i
-                            break
-                        else:
-                            depth -= 1
-                            j = k + 1
+                if buf[i] == 0x28:     # string with escapes or nesting
+                    try:
+                        val, i = _scan_literal_string(buf, i, n)
+                    except _FallbackErr as fe:
+                        raise err(fe.kind) from None
+                    append(new(Token, (TK_STR, val, so + head)))
+                    head = i
                     continue
-                if b == 0x3C:          # bad hex / truncation
-                    i += 1
-                    if i >= n:
-                        raise err("FinishInObject")
-                    i = _HEX_RUN_RE.match(buf, i).end()
-                    if i >= n:
-                        raise err("FinishInObject")
-                    raise err("UnexpectedByte")
-                if b == 0x3E:          # lone '>'
-                    i += 1
-                    raise err("FinishInObject")
-                raise err("UndefinedKeyword")
+                kind, i = _fallback_error_kind(buf, i, n)
+                raise err(kind)
 
             head = m.start(g)
             i = m.end()
@@ -577,46 +602,17 @@ class Lexer:
                 continue
 
             # fallback: escaped/nested strings and malformed input —
-            # byte-identical to the general loop's branches
-            b = buf[i]
-            if b == 0x28:  # '(' with escapes or nesting
-                j = i + 1
-                depth = 0
-                while True:
-                    sm = _STR_SPECIAL_RE.search(buf, j)
-                    if sm is None:
-                        raise err("FinishInObject")
-                    k = sm.start()
-                    c = buf[k]
-                    if c == 0x5C:
-                        j = k + 2
-                        if j > n:
-                            raise err("FinishInObject")
-                    elif c == 0x28:
-                        depth += 1
-                        j = k + 1
-                    elif depth == 0:
-                        val = parse_string(buf[i + 1:k])
-                        i = k + 1
-                        append(Token(TK_STR, val, so + head))
-                        head = i
-                        break
-                    else:
-                        depth -= 1
-                        j = k + 1
+            # shared scanner, byte-identical to the general loop
+            if buf[i] == 0x28:  # '(' with escapes or nesting
+                try:
+                    val, i = _scan_literal_string(buf, i, n)
+                except _FallbackErr as fe:
+                    raise err(fe.kind) from None
+                append(Token(TK_STR, val, so + head))
+                head = i
                 continue
-            if b == 0x3C:  # '<' not matched: bad hex or truncation
-                i += 1
-                if i >= n:
-                    raise err("FinishInObject")
-                i = _HEX_RUN_RE.match(buf, i).end()
-                if i >= n:
-                    raise err("FinishInObject")
-                raise err("UnexpectedByte")
-            if b == 0x3E:  # lone '>'
-                i += 1
-                raise err("FinishInObject")
-            raise err("UndefinedKeyword")
+            kind, i = _fallback_error_kind(buf, i, n)
+            raise err(kind)
 
         self.i, self.token_head_i = i, head
         return tokens

@@ -113,15 +113,19 @@ def extract_page_images(doc, page) -> list[ExtractedImage]:
             data = doc.stream_raw(obj)
             try:
                 jw, jh, ncomp, px = decode_baseline_jpeg(data)
+                if (jw, jh) != (w, h):
+                    # dict lies about dimensions (stale /Width from a
+                    # generator that scales via cm): treat like any
+                    # other undecodable-for-us JPEG
+                    raise JpegError("dims disagree with /Width /Height")
             except JpegError:
-                # non-baseline (progressive/arithmetic) JPEG: keep the
-                # bytes so the sink can persist them — the reference
-                # panics here (unwrap), we degrade gracefully
+                # arithmetic-coded / corrupt / dim-mismatched JPEG:
+                # keep the bytes so the sink can persist them — the
+                # reference panics here (unwrap), we degrade gracefully
+                # and NEVER abort the document's text extraction
                 images.append(ExtractedImage(page.page_number, name, w,
                                              h, cs, "jpeg", data))
                 continue
-            if (jw, jh) != (w, h):
-                raise ImageError("JPEG dims disagree with /Width /Height")
             if ncomp == 1:
                 px = bytes(b for p in px for b in (p, p, p))
             images.append(ExtractedImage(page.page_number, name, w, h, cs,

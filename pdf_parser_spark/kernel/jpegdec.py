@@ -110,7 +110,10 @@ class _BitReader:
                 raise _MarkerHit(0xFF00 | nxt)
         else:
             self.pos += 1
-        self.cur = (self.cur << 8) | b
+        # mask off already-consumed high bits BEFORE shifting: without
+        # this `cur` grows one bigint limb per scan byte and every
+        # shift copies it — O(n^2) decode on megabyte scans
+        self.cur = (((self.cur & ((1 << self.nbits) - 1)) << 8) | b)
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -242,6 +245,11 @@ def _decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                # 4-component (Adobe CMYK) / 2-component JPEGs would
+                # silently run the YCbCr matrix over wrong channels —
+                # reject cleanly so callers fall back to passthrough
+                raise JpegError(f"unsupported component count {ncomp}")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]

@@ -24,10 +24,11 @@ from dataclasses import dataclass, field
 from typing import NamedTuple
 
 from .cos import (
-    _CM_RE, _HEX_RUN_RE, _IRREGULAR, _STR_SPECIAL_RE, TK_ARR_END,
+    _CM_RE, _FallbackErr, _IRREGULAR, TK_ARR_END,
     TK_ARR_START, TK_BOOL, TK_DICT_END, TK_DICT_START, TK_HEXSTR, TK_INT,
     TK_NAME, TK_NULL, TK_OP, TK_REAL, TK_STR, LexerError, Token,
-    parse_hex_string, parse_name, parse_string, tokenize,
+    _fallback_error_kind, _scan_literal_string, parse_hex_string,
+    parse_name, parse_string, tokenize,
 )
 
 _MEMO_MISS = object()
@@ -359,45 +360,16 @@ class ContentInterpreter:
                 if e > i:              # whitespace / comment
                     i = e
                     continue
-                b = buf[i]
-                if b == 0x28:          # string with escapes or nesting
-                    j = i + 1
-                    depth = 0
-                    start = i
-                    while True:
-                        sm = _STR_SPECIAL_RE.search(buf, j)
-                        if sm is None:
-                            raise lex_err("FinishInObject", start)
-                        k = sm.start()
-                        c = buf[k]
-                        if c == 0x5C:
-                            j = k + 2
-                            if j > n:
-                                raise lex_err("FinishInObject", start)
-                        elif c == 0x28:
-                            depth += 1
-                            j = k + 1
-                        elif depth == 0:
-                            operands_append(
-                                (TK_STR, parse_string(buf[i + 1:k])))
-                            i = k + 1
-                            break
-                        else:
-                            depth -= 1
-                            j = k + 1
+                start = i
+                if buf[i] == 0x28:     # string with escapes or nesting
+                    try:
+                        val, i = _scan_literal_string(buf, i, n)
+                    except _FallbackErr as fe:
+                        raise lex_err(fe.kind, start) from None
+                    operands_append((TK_STR, val))
                     continue
-                if b == 0x3C:          # bad hex / truncation
-                    start = i
-                    i += 1
-                    if i >= n:
-                        raise lex_err("FinishInObject", start)
-                    i = _HEX_RUN_RE.match(buf, i).end()
-                    if i >= n:
-                        raise lex_err("FinishInObject", start)
-                    raise lex_err("UnexpectedByte", start)
-                if b == 0x3E:          # lone '>'
-                    raise lex_err("FinishInObject", i)
-                raise lex_err("UndefinedKeyword", i)
+                kind, i = _fallback_error_kind(buf, i, n)
+                raise lex_err(kind, start)
             i = m.end()
             if g != 9:                 # operand token
                 if g == 1:             # number
@@ -471,7 +443,8 @@ class ContentInterpreter:
                         raise lex_err("UnterminatedInlineImage", m.start(9))
                     i = k + 2
                     continue
-                raise lex_err("UndefinedKeyword")
+                # keyword (true/false/null) followed by regular bytes
+                raise lex_err("UndefinedKeyword", m.start(9))
 
             try:
                 if op == "q":

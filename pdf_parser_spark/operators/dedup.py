@@ -491,9 +491,22 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
     # labels only ever DECREASE under min-propagation, so an unchanged
-    # label sum is a convergence witness — one cheap agg per round
-    # instead of a full old-vs-new join
-    prev_sum = labels.agg(F.sum("label")).head()[0]
+    # aggregate over them is a convergence witness — one cheap agg per
+    # round instead of a full old-vs-new join. For numeric ids the sum
+    # works directly; for any other id type (string doc ids), sum a
+    # hash of the labels: a round that changes any label strictly
+    # lowers at least one, changing the hash sum (collision odds are
+    # 2^-64 per round; max_iter still bounds the loop regardless).
+    id_type = dict(labels.dtypes)["label"]
+    numeric = id_type in ("tinyint", "smallint", "int", "bigint",
+                          "float", "double", "decimal")
+    def witness(frame: DataFrame):
+        col = F.col("label") if numeric else F.xxhash64("label")
+        # decimal(38,0) sum: a long sum of 2^63-scale hashes overflows
+        # under ANSI mode
+        return frame.agg(F.sum(col.cast("decimal(38,0)"))).head()[0]
+
+    prev_sum = witness(labels)
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.id)
                  .groupBy("src").agg(F.min("label").alias("nlabel")))
@@ -504,7 +517,7 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20
                                              F.col("label")))
                           .alias("label"))
                   .localCheckpoint(eager=True))
-        cur_sum = labels.agg(F.sum("label")).head()[0]
+        cur_sum = witness(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

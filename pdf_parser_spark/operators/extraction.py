@@ -248,7 +248,12 @@ def extract_turns_dedup(turns: DataFrame) -> DataFrame:
     tests/test_pipeline_e2e.py::test_extract_dedup_equals_direct).
     """
     slim = turns.select("conv_id", "turn_idx", "text")
-    keyed = slim.withColumn("_digest", F.md5("text"))
+    # NULL text digests to NULL and NULL keys never equi-join — those
+    # turns would silently vanish. The kernel already treats NULL and
+    # empty payloads identically (both parse b""), so folding NULL
+    # into the empty digest is semantics-preserving.
+    keyed = slim.withColumn(
+        "_digest", F.md5(F.coalesce(F.col("text"), F.lit(""))))
     docs = (keyed.select("_digest", "text")
             .dropDuplicates(["_digest"])
             .select(F.col("_digest").alias("conv_id"),

@@ -890,12 +890,8 @@ def _srp_oracle_sql() -> str:
     same seeded generator, bucket = sum of sign bits, Hamming-1
     multi-probe expansion via unnest+xor, cosine verify + round(6)."""
     planes = similarity.hyperplanes(64, SRP_PLANES)
-    rows = ", ".join(
-        "({i}, [{v}]::DOUBLE[])".format(
-            i=i, v=", ".join(repr(float(w)) for w in plane))
-        for i, plane in enumerate(planes))
-    dotp = ("list_reduce(list_prepend(0.0, list_transform(range(1, 65),"
-            " i -> e.v[i]::DOUBLE * p.pv[i])), (x, y) -> x + y)")
+    rows = _plane_rows_sql(planes)
+    dotp = _DOT_PV_SQL.format(v="e.v", p="p.pv")
     masks = [0] + [1 << i for i in range(SRP_PLANES)]
     probes = ", ".join(f"xor(bucket, {m})" for m in masks)
     return f"""

@@ -128,3 +128,46 @@ def test_image_dct_progressive_parity():
     img = res["images"][0]
     assert img["format"] == "raw-rgb"
     assert img["data"] == golden["image_data"]
+
+
+def test_dct_dim_mismatch_degrades_to_passthrough():
+    """A decodable JPEG whose intrinsic dims disagree with /Width
+    /Height must fall back to byte passthrough, NOT abort the
+    document (text extraction survives)."""
+    from pdf_parser_spark.fixtures import PdfBuilder, lit
+    from pdf_parser_spark.kernel.jpegdec import encode_baseline_jpeg
+    import numpy as np
+
+    jpeg = encode_baseline_jpeg(bytes(np.full(64, 9, np.uint8)), 8, 8, 1)
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>")
+    b.add(3, b"<</Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+             b"<</Font <</F1 5 0 R>> /XObject <</Im1 6 0 R>>>>>>")
+    b.add(5, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")
+    b.add_stream(4, b"", b"BT /F1 10 Tf 10 10 Td " + lit("still here")
+                 + b" Tj ET\nq 4 0 0 4 0 0 cm /Im1 Do Q")
+    # dict claims 4x4; JPEG is really 8x8
+    b.add_stream(6, b"/Subtype /Image /Width 4 /Height 4 "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /DCTDecode", jpeg)
+    res = extract_text(b.build(), with_images=True)
+    assert res["parse_error"] is None
+    assert res["text"] == "still here"
+    assert res["images"][0]["format"] == "jpeg"
+
+
+def test_undefined_keyword_is_lexer_error_not_typeerror():
+    """Regression: a keyword-prefixed operator run in a content stream
+    ('truex') must surface as a LexerError parse_error, never a
+    TypeError from the error-path itself."""
+    from pdf_parser_spark.fixtures import PdfBuilder
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    b.add(2, b"<</Type /Pages /Kids [3 0 R] /Count 1>>")
+    b.add(3, b"<</Type /Page /Parent 2 0 R /Contents 4 0 R>>")
+    b.add_stream(4, b"", b"truex Tj")
+    res = extract_text(b.build())
+    assert res["parse_error"] is not None
+    assert "UndefinedKeyword" in res["parse_error"]
+    assert "TypeError" not in res["parse_error"]

@@ -238,3 +238,31 @@ def test_progressive_successive_approximation_exact():
                        0, 255).astype(np.uint8)
     got = np.frombuffer(px, np.uint8).reshape(8, 8)
     assert np.array_equal(got, expected)
+
+
+def test_bitreader_linear_in_scan_size():
+    """Regression: the bit accumulator must not grow with scan size
+    (unmasked bigint made decode O(n^2)); 128x128 decodes in well
+    under a second and within ~linear scaling of 64x64."""
+    import time
+
+    rng = np.random.default_rng(12)
+    def t(side):
+        img = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
+        data = encode_baseline_jpeg(img.tobytes(), side, side, 1)
+        t0 = time.perf_counter()
+        decode_baseline_jpeg(data)
+        return time.perf_counter() - t0
+    t64, t128 = t(64), t(128)
+    assert t128 < 1.5
+    assert t128 < t64 * 10    # ~4x expected; quadratic bug gave >10x
+
+
+def test_rejects_cmyk_component_count():
+    flat = np.full((8, 8), 80, np.uint8)
+    data = bytearray(encode_baseline_jpeg(flat.tobytes(), 8, 8, 1))
+    i = bytes(data).find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) ncomp(1)
+    data[i + 9] = 4
+    with pytest.raises(JpegError):
+        decode_baseline_jpeg(bytes(data))

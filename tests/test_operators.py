@@ -389,3 +389,17 @@ def test_duplicate_components_known_graph(spark):
            for r in duplicate_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    **{20 + i: 20 for i in range(8)}}
+
+
+def test_duplicate_components_string_ids(spark):
+    """Regression: string doc ids must converge correctly (the sum
+    witness is hash-based for non-numeric label types)."""
+    from pdf_parser_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "a string, b string")
+    got = {r["doc_id"]: r["component"]
+           for r in duplicate_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}

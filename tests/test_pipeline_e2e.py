@@ -145,3 +145,22 @@ def test_extract_dedup_equals_direct(spark):
     n_turns = turns.count()
     n_docs = turns.select("text").distinct().count()
     assert n_docs * 3 <= n_turns
+
+
+def test_extract_dedup_keeps_null_text_turns(spark):
+    """Regression: NULL-text turns must survive the dedup-extract path
+    (NULL digests never equi-join; digest coalesces to '')."""
+    from pdf_parser_spark.operators.extraction import (
+        extract_turns, extract_turns_dedup,
+    )
+
+    turns = spark.createDataFrame(
+        [("c1", 0, None), ("c1", 1, ""), ("c2", 0, "not a pdf")],
+        "conv_id string, turn_idx int, text string")
+    direct = extract_turns(turns).select(
+        "conv_id", "turn_idx", "text", "parse_error")
+    dedup = extract_turns_dedup(turns).select(
+        "conv_id", "turn_idx", "text", "parse_error")
+    assert dedup.count() == 3
+    assert direct.exceptAll(dedup).count() == 0
+    assert dedup.exceptAll(direct).count() == 0
