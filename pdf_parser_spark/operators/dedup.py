@@ -280,16 +280,31 @@ def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
     tabbed = sim.select(
         F.col(id_col), F.col("simhash"),
         F.posexplode(F.array(*keys)).alias("tbl", "key"))
-    a = tabbed.alias("a")
-    b = tabbed.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    return (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    # groupBy + in-bucket pair expansion, not a self-join: a self-join
+    # evaluates the fingerprint pipeline once PER SIDE (the dd03
+    # lesson); here only slim (tbl, key, id, simhash) rows shuffle,
+    # and the (id, simhash) structs ride into the bucket so the
+    # Hamming verify needs no join back
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                F.col("simhash").alias("s"))))
+    n = F.size(F.col("ms"))
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.slice(F.col("ms"), i + 2, n),
+            lambda x: F.struct(
+                F.element_at(F.col("ms"), (i + 1).cast("int"))
+                .alias("a"), x.alias("b")))))
+    expanded = (tabbed.groupBy("tbl", "key").agg(members.alias("ms"))
+                .filter(F.size("ms") > 1)
+                .select(F.explode(pairs).alias("p")))
+    xor = F.col("p.a.s").bitwiseXOR(F.col("p.b.s"))
+    return (expanded
             .withColumn("hamming", F.bit_count(xor))
             .filter(F.col("hamming") <= max_hamming)
-            .select(F.col(f"a.{id_col}").alias("a"),
-                    F.col(f"b.{id_col}").alias("b"), "hamming")
+            .select(F.col("p.a.i").alias("a"),
+                    F.col("p.b.i").alias("b"), "hamming")
             .distinct())
 
 
