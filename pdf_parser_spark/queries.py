@@ -1328,74 +1328,51 @@ FROM documents WHERE octet_length(encode(text)) > 0
 # Extraction family (the flagship — PDF bytes → text, kernel §2.1-2.5)
 # =====================================================================
 
-def ex01_extract_turns(spark, sf_dir):
-    """PDF text extraction over a deterministic synthetic transcript
-    corpus (fixture PDFs in the text column, FIXTURES.md §1). The
-    kernel is not SQL-expressible → rows-only check."""
-    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
-    out = extract_turns(turns)
-    return out.select("conv_id", "turn_idx", "n_pages", "n_objects",
-                      F.size("spans").alias("n_spans"),
-                      F.length("text").alias("text_len"),
-                      F.col("parse_error").isNotNull().alias("failed"))
-
-
 def ex02_golden_match(spark, sf_dir):
-    """End-to-end golden parity: extraction ⋈ golden on (conv_id,
-    turn_idx), reporting total/matched/failures — the north_rule's
-    per-turn text-equality gate as a query."""
+    """End-to-end golden parity + execution-strategy parity in one
+    gate: direct extraction ⋈ golden on (conv_id, turn_idx) for the
+    north_rule's per-turn text-equality count, PLUS the
+    distinct-document strategy (hash → extract once → join back,
+    ``extract_turns_dedup``) compared turn-for-turn against the direct
+    run. The oracle is GENERATED from the same corpus-shape generator
+    the sources use (``n_turns_for``), so changing EXTRACT_N_CONVS or
+    the skew knob re-derives it — no hand-pinned literals."""
+    from pdf_parser_spark.operators.extraction import extract_turns_dedup
+
     turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
-    golden = golden_turns(spark, EXTRACT_N_CONVS, partitions=8)
-    out = extract_turns(turns).select(
+    golden = (golden_turns(spark, EXTRACT_N_CONVS, partitions=8)
+              .select("conv_id", "turn_idx",
+                      F.col("text").alias("golden_text")))
+    direct = extract_turns(turns).select(
         "conv_id", "turn_idx",
         F.col("text").alias("extracted"), "parse_error")
-    j = out.join(golden, ["conv_id", "turn_idx"])
+    dd = extract_turns_dedup(turns).select(
+        "conv_id", "turn_idx", F.col("text").alias("t_dedup"))
+    j = (direct.join(golden, ["conv_id", "turn_idx"])
+         .join(dd, ["conv_id", "turn_idx"], "full_outer"))
     return j.agg(
         F.count(F.lit(1)).alias("total_turns"),
-        F.sum(F.when(F.col("extracted") == F.col("text"), 1).otherwise(0))
-        .alias("matched"),
-        F.sum(F.when(F.col("parse_error").isNotNull(), 1).otherwise(0))
-        .alias("parse_failures"))
-
-
-# The ex02/ex03 corpora are seeded and sf-independent (EXTRACT_N_CONVS
-# fixture conversations), so their golden-parity aggregates are
-# CONSTANTS: pinning them as literal-SELECT oracles turns per-turn text
-# equality into a hard hash-checked gate in CORRECTNESS_r{N}.json — any
-# kernel regression flips matched != total and the driver flags it.
-ORACLE_EX02 = """
-SELECT CAST(162 AS BIGINT) AS total_turns,
-       CAST(162 AS BIGINT) AS matched,
-       CAST(0 AS BIGINT) AS parse_failures
-"""
-
-ORACLE_EX03 = """
-SELECT CAST(120 AS BIGINT) AS total_turns,
-       CAST(120 AS BIGINT) AS matched,
-       CAST(600 AS BIGINT) AS chrome_blocks_stripped
-"""
-
-
-def ex03_html_extract(spark, sf_dir):
-    """HTML main-content extraction (north_rule: boilerplate strip /
-    DOM heuristics) over a deterministic synthetic HTML transcript
-    corpus, joined against per-turn goldens. Rows-only (stdlib
-    html.parser kernel is not SQL-expressible)."""
-    from pdf_parser_spark.operators.html_extract import extract_html_turns
-    from pdf_parser_spark.sources.html_turns import html_golden, html_turns
-
-    turns = html_turns(spark, EXTRACT_N_CONVS, partitions=8)
-    golden = (html_golden(spark, EXTRACT_N_CONVS, partitions=8)
-              .withColumnRenamed("text", "golden_text")
-              .withColumnRenamed("title", "golden_title"))
-    out = extract_html_turns(turns)
-    j = out.join(golden, ["conv_id", "turn_idx"])
-    return j.agg(
-        F.count(F.lit(1)).alias("total_turns"),
-        F.sum(F.when((F.col("text") == F.col("golden_text"))
-                     & (F.col("title") == F.col("golden_title")), 1)
+        F.sum(F.when(F.col("extracted") == F.col("golden_text"), 1)
               .otherwise(0)).alias("matched"),
-        F.sum("n_chrome_blocks").alias("chrome_blocks_stripped"))
+        F.sum(F.when(F.col("parse_error").isNotNull(), 1).otherwise(0))
+        .alias("parse_failures"),
+        F.sum(F.when(F.col("extracted").eqNullSafe(F.col("t_dedup")), 0)
+              .otherwise(1)).alias("dedup_mismatched"))
+
+
+def _ex02_oracle_sql() -> str:
+    """Derived, not pinned: total turns from the corpus-shape generator;
+    matched must equal it, failures/strategy-mismatches must be zero —
+    any kernel or plan regression flips the hash."""
+    from pdf_parser_spark.sources.turns import n_turns_for
+
+    total = sum(n_turns_for(i) for i in range(EXTRACT_N_CONVS))
+    return f"""
+SELECT CAST({total} AS BIGINT) AS total_turns,
+       CAST({total} AS BIGINT) AS matched,
+       CAST(0 AS BIGINT) AS parse_failures,
+       CAST(0 AS BIGINT) AS dedup_mismatched
+"""
 
 
 def ex04_conversation_rollup(spark, sf_dir):
@@ -1403,7 +1380,8 @@ def ex04_conversation_rollup(spark, sf_dir):
     concatenated per conversation in (conv_id, turn_idx) order — the
     north_rule's 'stable turn ordering' as a visible operator
     (sort_array over collected structs = order-stable under any
-    partitioning). Rows-only."""
+    partitioning). Oracled since round 3 by a VALUES table generated
+    from the pure-Python golden corpus (kernel-independent)."""
     turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
     ext = extract_turns(turns)
     ordered = F.sort_array(F.collect_list(F.struct("turn_idx", "text")))
@@ -1416,82 +1394,74 @@ def ex04_conversation_rollup(spark, sf_dir):
                        .otherwise(0)).alias("parse_failures")))
 
 
-def ex05_extract_images(spark, sf_dir):
-    """Image extraction (the reference's actual public API surface,
-    src/lib.rs:60-72): one row per decoded XObject image with
-    dimensions/colorspace/format. Rows-only; pixel parity is asserted
-    in tests/test_extract_pdfs.py."""
-    from pdf_parser_spark.operators.extraction import extract_images
+def _ex04_oracle_sql() -> str:
+    """Per-conversation rollup VALUES from the golden builder: n_turns,
+    byte length of the '\\n'-joined golden texts, zero failures."""
+    from pdf_parser_spark.sources.turns import _conv_turns
 
-    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
-    return (extract_images(turns)
-            .select("conv_id", "turn_idx", "page", "name", "width",
-                    "height", "colorspace", "format",
-                    F.octet_length("data").alias("n_bytes")))
-
-
-def ex07_extract_dedup_parity(spark, sf_dir):
-    """Distinct-document extraction (hash → extract once → join back,
-    the dup-heavy-corpus optimization) compared per-turn against
-    direct extraction. Constant oracle: the corpus is deterministic,
-    so total/mismatched pin to (162, 0) — any divergence between the
-    two execution strategies turns CORRECTNESS red."""
-    from pdf_parser_spark.operators.extraction import (
-        extract_turns, extract_turns_dedup,
-    )
-
-    turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
-    direct = extract_turns(turns).select(
-        "conv_id", "turn_idx", F.col("text").alias("t_direct"))
-    dedup = extract_turns_dedup(turns).select(
-        "conv_id", "turn_idx", F.col("text").alias("t_dedup"))
-    j = direct.join(dedup, ["conv_id", "turn_idx"], "full_outer")
-    return j.agg(
-        F.count(F.lit(1)).alias("total_turns"),
-        F.sum(F.when(
-            F.col("t_direct").eqNullSafe(F.col("t_dedup")), 0)
-            .otherwise(1)).alias("mismatched"))
-
-
-ORACLE_EX07 = """
-SELECT CAST(162 AS BIGINT) AS total_turns,
-       CAST(0 AS BIGINT) AS mismatched
-"""
+    rows = []
+    for i in range(EXTRACT_N_CONVS):
+        texts = []
+        conv_id = None
+        for conv_id, _t, _fid, _pdf, g, _b in _conv_turns(i, 0):
+            texts.append(g["text"])
+        joined = "\n".join(texts)
+        rows.append(f"('{conv_id}', {len(texts)}, {len(joined)}, 0)")
+    return ("SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns, "
+            "CAST(conv_text_len AS INTEGER) AS conv_text_len, "
+            "CAST(parse_failures AS BIGINT) AS parse_failures "
+            "FROM (VALUES " + ", ".join(rows) +
+            ") AS t(conv_id, n_turns, conv_text_len, parse_failures)")
 
 
 def ex08_per_turn_golden(spark, sf_dir):
     """PER-TURN extraction parity, driver-visible: one row per turn
-    with the extracted text length and page/span counts. The oracle is
-    a VALUES table generated from the same pure-Python golden corpus
-    the pytest gates use (fixture metadata — independent of the
-    kernel), so ANY single turn whose extraction drifts flips the
-    value hash. Finer-grained than ex02's aggregate."""
+    with the FULL-TEXT md5 digest plus length and page/span counts.
+    The oracle is a VALUES table generated from the same pure-Python
+    golden corpus the pytest gates use (fixture metadata — independent
+    of the kernel), so ANY single turn whose extracted text drifts —
+    even a same-length corruption — flips the value hash. Finer-grained
+    than ex02's aggregate."""
     turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
     out = extract_turns(turns)
     return out.select(
         "conv_id", "turn_idx",
+        F.md5(F.col("text")).alias("text_md5"),
         F.length("text").cast("int").alias("text_len"),
         F.col("n_pages"),
         F.size("spans").alias("n_spans"))
 
 
 def _ex08_oracle_sql() -> str:
+    import hashlib
+
     from pdf_parser_spark.sources.turns import _conv_turns
 
     rows = []
     for i in range(EXTRACT_N_CONVS):
         for conv_id, t, _fid, _pdf, g, _b in _conv_turns(i, 0):
-            rows.append(f"('{conv_id}', {t}, {len(g['text'])}, "
+            md5 = hashlib.md5(g["text"].encode("utf-8")).hexdigest()
+            rows.append(f"('{conv_id}', {t}, '{md5}', {len(g['text'])}, "
                         f"{g['n_pages']}, {g['n_spans']})")
-    return ("SELECT conv_id, turn_idx, text_len, n_pages, n_spans "
-            "FROM (VALUES " + ", ".join(rows) +
-            ") AS t(conv_id, turn_idx, text_len, n_pages, n_spans)")
+    return ("SELECT conv_id, turn_idx, text_md5, text_len, n_pages, "
+            "n_spans FROM (VALUES " + ", ".join(rows) +
+            ") AS t(conv_id, turn_idx, text_md5, text_len, n_pages, "
+            "n_spans)")
+
+
+# every page built by sources/html_turns.build_page wraps the article
+# in exactly these chrome containers (nav, header, sidebar div,
+# comments div, footer) — the count below is derived from that fixed
+# template shape, not from the extraction kernel
+HTML_CHROME_BLOCKS_PER_PAGE = 5
 
 
 def ex09_html_per_turn_golden(spark, sf_dir):
-    """PER-TURN HTML extraction parity: extracted title + main-text
-    length per turn vs a VALUES oracle from the pure-Python golden
-    page builder (independent of the extraction kernel)."""
+    """PER-TURN HTML extraction parity (north_rule: boilerplate strip /
+    DOM heuristics): extracted title, full-text md5, main-text length
+    and stripped-chrome-block count per turn vs a VALUES oracle from
+    the pure-Python golden page builder (independent of the extraction
+    kernel). Subsumes the former ex03 aggregate gate."""
     from pdf_parser_spark.operators.html_extract import extract_html_turns
     from pdf_parser_spark.sources.html_turns import html_turns
 
@@ -1499,10 +1469,14 @@ def ex09_html_per_turn_golden(spark, sf_dir):
     out = extract_html_turns(turns)
     return out.select(
         "conv_id", "turn_idx", "title",
-        F.length("text").cast("int").alias("text_len"))
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").cast("int").alias("text_len"),
+        "n_chrome_blocks")
 
 
 def _ex09_oracle_sql() -> str:
+    import hashlib
+
     from pdf_parser_spark.sources.html_turns import build_page
 
     rows = []
@@ -1510,17 +1484,24 @@ def _ex09_oracle_sql() -> str:
         for t in range(2):
             _html, golden, title = build_page(i, t)
             tq = title.replace("'", "''")
-            rows.append(f"('hconv-{i:06d}', {t}, '{tq}', {len(golden)})")
-    return ("SELECT conv_id, turn_idx, title, text_len "
+            md5 = hashlib.md5(golden.encode("utf-8")).hexdigest()
+            rows.append(f"('hconv-{i:06d}', {t}, '{tq}', '{md5}', "
+                        f"{len(golden)}, {HTML_CHROME_BLOCKS_PER_PAGE})")
+    return ("SELECT conv_id, turn_idx, title, text_md5, text_len, "
+            "CAST(n_chrome_blocks AS INTEGER) AS n_chrome_blocks "
             "FROM (VALUES " + ", ".join(rows) +
-            ") AS t(conv_id, turn_idx, title, text_len)")
+            ") AS t(conv_id, turn_idx, title, text_md5, text_len, "
+            "n_chrome_blocks)")
 
 
 def ex06_jpeg_sink(spark, sf_dir):
-    """JPEG sink parity (ref src/main.rs:36-42): extracted rasters
-    re-encoded to baseline JPEG by the in-repo codec; reports per-image
-    encoded sizes. Rows-only; encode->decode round-trip parity is
-    asserted in tests/test_jpegdec.py / test_extract_pdfs.py."""
+    """Image extraction + JPEG sink in one surface (the reference's
+    whole public API: PDF::extract_image src/lib.rs:60-72 feeding the
+    main.rs:36-42 JPEG re-encode): one row per extracted XObject image
+    with its decoded dimensions/colorspace and the sink-encoded format
+    + byte size. Rows-only; decode pixel parity and encode->decode
+    round-trips are asserted in tests/test_extract_pdfs.py and
+    tests/test_jpegdec.py."""
     from pdf_parser_spark.operators.extraction import (
         encode_images_jpeg, extract_images,
     )
@@ -1528,12 +1509,25 @@ def ex06_jpeg_sink(spark, sf_dir):
     turns = synthetic_turns(spark, EXTRACT_N_CONVS, partitions=8)
     sunk = encode_images_jpeg(extract_images(turns))
     return sunk.select(
-        "conv_id", "turn_idx", "page", "name", "format",
+        "conv_id", "turn_idx", "page", "name", "width", "height",
+        "colorspace", "format",
         F.octet_length("data").alias("jpeg_bytes"))
 
 
 # =====================================================================
 # Registry
+#
+# EXACTLY 50 entries: the round-2 driver snapshot recorded precisely
+# the first 50 registry entries (in insertion order) of the then-55,
+# silently dropping the five extraction parity gates at the tail —
+# so the registry is capped at the observed driver budget and ordered
+# with the golden-parity gates right after the relational family.
+# Absorbed (function kept where tests/bench use it, entry merged):
+#   ex01 -> ex08 (per-turn golden now carries full-text md5)
+#   ex03 -> ex09 (per-turn HTML golden now carries chrome-block count)
+#   ex05 -> ex06 (image extraction + JPEG sink in one surface)
+#   ex07 -> ex02 (golden match now also checks dedup-strategy parity)
+#   dd05 -> pytest-only oracle twin of dd06 (bench still runs it)
 # =====================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1562,11 +1556,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_session_window": q23_session_window,
     "q24_pivot_segment_priority": q24_pivot_segment_priority,
     "q25_unpivot_roundtrip": q25_unpivot_roundtrip,
+    "ex02_golden_match": ex02_golden_match,
+    "ex04_conversation_rollup": ex04_conversation_rollup,
+    "ex06_jpeg_sink": ex06_jpeg_sink,
+    "ex08_per_turn_golden": ex08_per_turn_golden,
+    "ex09_html_per_turn_golden": ex09_html_per_turn_golden,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
     "dd03_minhash_lsh": dd03_minhash_lsh,
     "dd04_simhash": dd04_simhash,
-    "dd05_embedding_cosine": dd05_embedding_cosine,
     "dd06_embedding_srp": dd06_embedding_srp,
     "dd07_minhash_md5": dd07_minhash_md5,
     "dd08_dup_components": dd08_dup_components,
@@ -1583,15 +1581,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann03_ivf_topk": ann03_ivf_topk,
     "mm01_decode_meta": mm01_decode_meta,
     "mm02_frame_sample": mm02_frame_sample,
-    "ex01_extract_turns": ex01_extract_turns,
-    "ex02_golden_match": ex02_golden_match,
-    "ex03_html_extract": ex03_html_extract,
-    "ex04_conversation_rollup": ex04_conversation_rollup,
-    "ex05_extract_images": ex05_extract_images,
-    "ex06_jpeg_sink": ex06_jpeg_sink,
-    "ex07_extract_dedup_parity": ex07_extract_dedup_parity,
-    "ex08_per_turn_golden": ex08_per_turn_golden,
-    "ex09_html_per_turn_golden": ex09_html_per_turn_golden,
 }
 
 ORACLES: dict[str, str] = {
@@ -1620,9 +1609,12 @@ ORACLES: dict[str, str] = {
     "q23_session_window": ORACLE_Q12,  # same session semantics
     "q24_pivot_segment_priority": ORACLE_Q24,
     "q25_unpivot_roundtrip": ORACLE_Q25,
+    "ex02_golden_match": _ex02_oracle_sql(),
+    "ex04_conversation_rollup": _ex04_oracle_sql(),
+    "ex08_per_turn_golden": _ex08_oracle_sql(),
+    "ex09_html_per_turn_golden": _ex09_oracle_sql(),
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
-    "dd05_embedding_cosine": ORACLE_DD05,
     "dd06_embedding_srp": _srp_oracle_sql(),
     "dd07_minhash_md5": ORACLE_DD07,
     "dd08_dup_components": ORACLE_DD08,
@@ -1640,13 +1632,9 @@ ORACLES: dict[str, str] = {
     "ann03_ivf_topk": _ann03_oracle_sql(),
     "mm01_decode_meta": ORACLE_MM01,
     "mm02_frame_sample": ORACLE_MM02,
-    "ex02_golden_match": ORACLE_EX02,
-    "ex03_html_extract": ORACLE_EX03,
-    "ex07_extract_dedup_parity": ORACLE_EX07,
-    "ex08_per_turn_golden": _ex08_oracle_sql(),
-    "ex09_html_per_turn_golden": _ex09_oracle_sql(),
-    # dd03/dd04 (xxhash64 LSH), ann02 (literal hyperplanes), and
-    # ex01-ex04 (PDF/HTML kernels) are intentionally oracle-free →
-    # rows-only checks; their correctness gates live in tests/
-    # (golden parity, LSH recall, rollup invariants).
+    # dd03/dd04 (xxhash64 LSH lanes) and ex06 (PDF image kernel +
+    # JPEG codec) are intentionally oracle-free → rows-only checks;
+    # their semantics are pinned by oracled twins (dd07/dd02) and by
+    # pixel-parity/round-trip pytest gates (test_extract_pdfs,
+    # test_jpegdec).
 }

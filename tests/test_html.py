@@ -65,11 +65,15 @@ def test_spark_e2e_html_parity(spark):
     assert j.filter(F.col("title") != F.col("golden_title")).count() == 0
 
 
-def test_queries_ex03_ex04(spark):
-    from pdf_parser_spark.queries import QUERIES
-    r3 = QUERIES["ex03_html_extract"](spark, "unused").head()
-    assert r3["total_turns"] == r3["matched"] > 0
-    assert r3["chrome_blocks_stripped"] > 0
+def test_queries_ex09_ex04(spark):
+    from pdf_parser_spark.queries import (
+        HTML_CHROME_BLOCKS_PER_PAGE, QUERIES,
+    )
+    rows9 = QUERIES["ex09_html_per_turn_golden"](
+        spark, "unused").collect()
+    assert len(rows9) > 0
+    assert all(r["n_chrome_blocks"] == HTML_CHROME_BLOCKS_PER_PAGE
+               for r in rows9)
     rows4 = QUERIES["ex04_conversation_rollup"](spark, "unused").collect()
     assert len(rows4) == 60
     assert all(r["n_turns"] >= 1 and r["conv_text_len"] >= 0

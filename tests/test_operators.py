@@ -309,15 +309,16 @@ def test_registry_consistency():
     import __spark_entry__ as e
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 25
-    # the intentionally oracle-free set is exactly the non-SQL ops
-    # (ex02/ex03 gained constant golden-parity oracles in round 2;
-    # dd06's SRP bucketing is fully replicated in DuckDB SQL)
-    # (ann02 gained a generated bucket-replicating oracle in round 2)
+    # the round-2 driver snapshot recorded exactly the first 50
+    # registry entries — the registry is pinned to that budget so every
+    # entry (including the extraction parity gates) lands in
+    # CORRECTNESS_r{N}.json
+    assert len(qs) == 50
+    # the intentionally oracle-free set is exactly the non-SQL ops:
+    # xxhash64 LSH lanes (oracled twins dd07/dd02) and the image
+    # kernel + JPEG codec surface (pixel parity in pytest)
     assert set(qs) - set(oracles) == {
-        "dd03_minhash_lsh", "dd04_simhash",
-        "ex01_extract_turns", "ex04_conversation_rollup",
-        "ex05_extract_images", "ex06_jpeg_sink"}
+        "dd03_minhash_lsh", "dd04_simhash", "ex06_jpeg_sink"}
 
 
 def test_cheap_queries_run_at_sf0001(spark):
@@ -403,3 +404,28 @@ def test_duplicate_components_string_ids(spark):
            for r in duplicate_components(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
                    "x": "x", "y": "x"}
+
+
+def test_dd05_matches_duckdb_oracle(spark):
+    """dd05 left the 50-entry driver registry in round 3 (dd06 is the
+    oracled scale path), but it remains the exact quadratic twin that
+    pins embedding-cosine semantics — keep it cell-exact vs its DuckDB
+    oracle here instead."""
+    import duckdb
+
+    from pdf_parser_spark.queries import ORACLE_DD05, dd05_embedding_cosine
+
+    sf = "/root/testdata/sf0.001"
+    got = dd05_embedding_cosine(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{sf}/embeddings.parquet'")
+    want = con.sql(ORACLE_DD05).df()
+    key = ["a", "b"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["a"].values == want["a"].values).all()
+    assert (got["b"].values == want["b"].values).all()
+    assert (got["cosine"].round(6).values
+            == want["cosine"].round(6).values).all()
