@@ -114,8 +114,20 @@ def signatures_from_shingles(sh: DataFrame, id_col: str = "doc_id",
     return sh.select(F.col(id_col), sig.alias("signature"))
 
 
+# Giant-bucket guard default: in-bucket pair expansion materializes
+# O(n^2) structs per bucket before the explode, so a degenerate bucket
+# (millions of boilerplate docs whose signatures collide in every
+# band — the kind of mass a real 100 TB crawl always has) would build
+# a multi-GB array in one aggregation row and OOM the executor. 256
+# members -> <=32k pairs per bucket: bounded buffers, and far above
+# what LSH banding produces on a near-dup-sparse corpus (run
+# exact_dedup upstream; identical docs never need LSH).
+MAX_BUCKET_DEFAULT = 256
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16, rows_per_band: int = 4
+                        bands: int = 16, rows_per_band: int = 4,
+                        max_bucket: int | None = MAX_BUCKET_DEFAULT
                         ) -> DataFrame:
     """Band the signature, bucket the ids, expand in-bucket pairs.
     Returns distinct candidate (a, b) pairs with a < b.
@@ -126,18 +138,28 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     dd03's runtime), while the groupBy computes it once and shuffles
     only slim (band, bucket, id) rows on a uniformly-hash-distributed
     key. In-bucket pair expansion is quadratic per bucket by design —
-    the LSH banding parameters exist precisely to keep buckets tiny;
-    a pathological giant bucket degrades the same way the join's
-    per-key quadratic output would.
+    the LSH banding parameters exist precisely to keep buckets tiny.
+
+    ``max_bucket`` is the giant-bucket guard: buckets with more than
+    ``max_bucket`` members are DROPPED before pair expansion (pass
+    ``None`` to disable). A bucket that large means the signature has
+    no discriminating power for those docs (identical/boilerplate
+    mass) — candidate pairs from it would be mostly true duplicates
+    that exact dedup upstream should already have collapsed, and
+    expanding it quadratically is exactly the executor-OOM shape.
+    Dropped-bucket accounting: ``oversized_buckets`` returns the
+    (band, bucket, n) rows the guard removed — log/alert on it in a
+    production pipeline run.
+
+    Honesty note on bounds: the guard eliminates the QUADRATIC
+    expansion (the certain OOM); the linear collect_list buffer for an
+    oversized bucket still forms before the size filter (~16 B/id —
+    tens of MB even for a million-doc degenerate bucket, spillable by
+    the sort-based aggregate fallback). Avoiding even that would cost
+    a count+join pre-pass (an extra shuffle) on every healthy run;
+    the linear buffer is the cheaper risk.
     """
-    banded = signatures.select(
-        id_col,
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(
-                ",", *[F.element_at("signature", b * rows_per_band + r + 1)
-                       .cast("string") for r in range(rows_per_band)]))
-            for b in range(bands)
-        ])).alias("band", "bucket"))
+    banded = _banded(signatures, id_col, bands, rows_per_band)
     ids = F.array_sort(F.collect_list(id_col))
     n = F.size(F.col("ids"))
     pairs = F.flatten(F.transform(
@@ -147,17 +169,46 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             lambda x: F.struct(
                 F.element_at(F.col("ids"), (i + 1).cast("int")).alias("a"),
                 x.alias("b")))))
-    return (banded.groupBy("band", "bucket").agg(ids.alias("ids"))
-            .filter(F.size("ids") > 1)
+    grouped = (banded.groupBy("band", "bucket").agg(ids.alias("ids"))
+               .filter(F.size("ids") > 1))
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    return (grouped
             .select(F.explode(pairs).alias("p"))
             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .distinct())
 
 
+def _banded(signatures: DataFrame, id_col: str, bands: int,
+            rows_per_band: int) -> DataFrame:
+    return signatures.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("signature", b * rows_per_band + r + 1)
+                       .cast("string") for r in range(rows_per_band)]))
+            for b in range(bands)
+        ])).alias("band", "bucket"))
+
+
+def oversized_buckets(signatures: DataFrame, id_col: str = "doc_id",
+                      bands: int = 16, rows_per_band: int = 4,
+                      max_bucket: int = MAX_BUCKET_DEFAULT) -> DataFrame:
+    """Accounting face of the giant-bucket guard: the (band, bucket,
+    n) groups ``lsh_candidate_pairs`` drops at the same parameters.
+    Count/aggregate is a cheap slim-row groupBy (no collect_list)."""
+    return (_banded(signatures, id_col, bands, rows_per_band)
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket))
+
+
 def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_perm: int = 64,
                         k: int = 5, bands: int = 16,
-                        threshold: float = 0.7) -> DataFrame:
+                        threshold: float = 0.7,
+                        max_bucket: int | None = MAX_BUCKET_DEFAULT
+                        ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
     jaccard verification on candidates only.
 
@@ -171,7 +222,8 @@ def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text",
     sh = docs.select(F.col(id_col),
                      shingles(F.col(text_col), k).alias("sh"))
     sigs = signatures_from_shingles(sh, id_col, num_perm)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
+                                max_bucket=max_bucket)
     # verify join does ONE pass over sh (melt the pair to two keyed
     # rows, join, fold back) — joining sh once per side would scan and
     # re-shingle the whole corpus twice
@@ -234,7 +286,8 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
-                       bands: int = 4, max_hamming: int = 3
+                       bands: int = 4, max_hamming: int = 3,
+                       max_bucket: int | None = MAX_BUCKET_DEFAULT
                        ) -> DataFrame:
     """Hamming-neighbour pairs via Manku-style permuted band tables
     (Manku/Jain/Das Sarma, WWW 2007) with EXACT results: every pair at
@@ -254,6 +307,15 @@ def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
     quadratic (vs the old single 8-bit prefix block: 256 blocks over
     10^12 docs is ~4e9 docs per block AND misses any pair with a
     prefix-bit flip).
+
+    ``max_bucket`` is the same giant-bucket guard as
+    ``lsh_candidate_pairs``: a table key shared by more than
+    ``max_bucket`` docs (a degenerate identical-fingerprint mass) is
+    dropped before the quadratic in-bucket pair expansion; pass
+    ``None`` to disable. NOTE: with the guard on, the
+    "identical to the quadratic join" recall guarantee holds for all
+    pairs outside dropped buckets — exact-dedup the corpus upstream
+    so identical-text masses never reach fingerprinting.
     """
     from itertools import combinations
 
@@ -296,9 +358,11 @@ def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
             lambda x: F.struct(
                 F.element_at(F.col("ms"), (i + 1).cast("int"))
                 .alias("a"), x.alias("b")))))
-    expanded = (tabbed.groupBy("tbl", "key").agg(members.alias("ms"))
-                .filter(F.size("ms") > 1)
-                .select(F.explode(pairs).alias("p")))
+    grouped = (tabbed.groupBy("tbl", "key").agg(members.alias("ms"))
+               .filter(F.size("ms") > 1))
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ms") <= max_bucket)
+    expanded = grouped.select(F.explode(pairs).alias("p"))
     xor = F.col("p.a.s").bitwiseXOR(F.col("p.b.s"))
     return (expanded
             .withColumn("hamming", F.bit_count(xor))
@@ -479,7 +543,8 @@ def minhash_md5_pairs(docs: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------- duplicate components
 
-def duplicate_components(pairs: DataFrame, max_iter: int = 20
+def duplicate_components(pairs: DataFrame, max_iter: int = 20,
+                         checkpoint_dir: str | None = None
                          ) -> DataFrame:
     """Connected components over near-dup pairs (a, b): every doc in a
     component maps to the component's MIN doc id — the canonical
@@ -494,29 +559,48 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20
     Returns (doc_id, component) for every endpoint of a pair;
     singletons (docs with no pair) are their own components by
     definition and are omitted.
+
+    ``checkpoint_dir``: where to truncate lineage between rounds.
+    When set (an HDFS/object-store path on a real cluster), reliable
+    ``checkpoint()`` is used — iteration state survives executor loss,
+    which is the correct choice for a long-running 100 TB job. When
+    None (default, local/test mode), ``localCheckpoint`` keeps state
+    in executor memory: faster, but a lost executor mid-iteration
+    fails the job.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"),
                      F.col("src").alias("dst"))).distinct()
     # both sides of every per-round join: truncate lineage once, or
     # round k re-executes rounds 1..k-1 (exponential plan growth)
-    edges = edges.localCheckpoint(eager=True)
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id"))
-              .localCheckpoint(eager=True))
+    edges = ckpt(edges)
+    labels = ckpt(edges.select(F.col("src").alias("id")).distinct()
+                  .withColumn("label", F.col("id")))
     # labels only ever DECREASE under min-propagation, so an unchanged
     # aggregate over them is a convergence witness — one cheap agg per
-    # round instead of a full old-vs-new join. For numeric ids the sum
-    # works directly; for any other id type (string doc ids), sum a
-    # hash of the labels: a round that changes any label strictly
-    # lowers at least one, changing the hash sum (collision odds are
+    # round instead of a full old-vs-new join. For INTEGRAL ids the
+    # sum works directly; for any other id type (string doc ids, and
+    # float/double/decimal-with-scale, whose cast to decimal(38,0)
+    # rounds — a label change like 2.4->1.6 could leave the rounded
+    # sum unchanged and exit early), sum a hash of the labels: a round
+    # that changes any label changes the hash sum (collision odds are
     # 2^-64 per round; max_iter still bounds the loop regardless).
     id_type = dict(labels.dtypes)["label"]
-    numeric = id_type in ("tinyint", "smallint", "int", "bigint",
-                          "float", "double", "decimal")
+    integral = id_type in ("tinyint", "smallint", "int", "bigint")
+
     def witness(frame: DataFrame):
-        col = F.col("label") if numeric else F.xxhash64("label")
+        col = F.col("label") if integral else F.xxhash64("label")
         # decimal(38,0) sum: a long sum of 2^63-scale hashes overflows
         # under ANSI mode
         return frame.agg(F.sum(col.cast("decimal(38,0)"))).head()[0]
@@ -525,13 +609,12 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.id)
                  .groupBy("src").agg(F.min("label").alias("nlabel")))
-        labels = (labels.join(neigh, labels.id == neigh.src, "left")
-                  .select(F.col("id"),
-                          F.least(F.col("label"),
-                                  F.coalesce(F.col("nlabel"),
-                                             F.col("label")))
-                          .alias("label"))
-                  .localCheckpoint(eager=True))
+        labels = ckpt(
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(F.col("id"),
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nlabel"), F.col("label")))
+                    .alias("label")))
         cur_sum = witness(labels)
         if cur_sum == prev_sum:
             break

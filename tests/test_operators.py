@@ -429,3 +429,91 @@ def test_dd05_matches_duckdb_oracle(spark):
     assert (got["b"].values == want["b"].values).all()
     assert (got["cosine"].round(6).values
             == want["cosine"].round(6).values).all()
+
+
+def test_lsh_giant_bucket_guard(spark):
+    """A degenerate identical-text mass must not blow up the in-bucket
+    pair expansion: with the cap it completes and drops the mass (the
+    accounting view reports it); pairs in healthy buckets survive."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_dedup_pairs, oversized_buckets,
+        shingles, signatures_from_shingles,
+    )
+
+    mass = [(i, "identical boilerplate doc body repeated everywhere")
+            for i in range(500)]
+    pair = [(1000, "the quick brown fox jumps over the lazy dog today"),
+            (1001, "the quick brown fox jumps over the lazy dog now")]
+    docs = spark.createDataFrame(mass + pair, "doc_id long, text string")
+
+    got = minhash_dedup_pairs(docs, k=2, threshold=0.5,
+                              max_bucket=16).collect()
+    ids = {r["a"] for r in got} | {r["b"] for r in got}
+    assert (1000, 1001) in {(r["a"], r["b"]) for r in got}
+    assert not any(i < 500 for i in ids)   # mass dropped, no blowup
+
+    sh = docs.select("doc_id", shingles(F.col("text"), 2).alias("sh"))
+    sigs = signatures_from_shingles(sh)
+    over = oversized_buckets(sigs, max_bucket=16).collect()
+    assert len(over) == 16                 # every band: one 500-bucket
+    assert all(r["n"] == 500 for r in over)
+
+    # cap disabled -> the mass pairs quadratically (sanity on a small n)
+    small = spark.createDataFrame(mass[:30], "doc_id long, text string")
+    ssigs = signatures_from_shingles(
+        small.select("doc_id", shingles(F.col("text"), 2).alias("sh")))
+    n_pairs = lsh_candidate_pairs(ssigs, max_bucket=None).count()
+    assert n_pairs == 30 * 29 // 2
+    assert lsh_candidate_pairs(ssigs, max_bucket=16).count() == 0
+
+
+def test_simhash_giant_bucket_guard(spark):
+    from pdf_parser_spark.operators.dedup import simhash_candidates
+
+    mass_v = 0x123456789ABCDEF0
+    pv = 0x0FEDCBA987654321
+    sim = spark.createDataFrame(
+        [(i, mass_v) for i in range(100)]
+        + [(200, pv), (201, pv ^ 1)],   # hamming 1 pair, own buckets
+        "doc_id long, simhash long")
+    got = {(r["a"], r["b"])
+           for r in simhash_candidates(sim, max_bucket=16).collect()}
+    assert got == {(200, 201)}
+    assert simhash_candidates(sim, max_bucket=None).count() == \
+        100 * 99 // 2 + 1
+
+
+def test_duplicate_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir engages reliable checkpoint() (fault-tolerant
+    lineage truncation for cluster runs) and yields identical results."""
+    import os
+
+    from pdf_parser_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), *[(20 + i, 21 + i) for i in range(7)]],
+        "a long, b long")
+    ckdir = str(tmp_path / "ck")
+    got = {r["doc_id"]: r["component"]
+           for r in duplicate_components(pairs,
+                                         checkpoint_dir=ckdir).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   **{20 + i: 20 for i in range(8)}}
+    assert os.listdir(ckdir)               # RDDs actually materialized
+
+
+def test_duplicate_components_fractional_ids(spark):
+    """Fractional double ids: the decimal-cast sum witness would round
+    (2.4+1.6 == 2.0+2.0) and could exit before convergence; doubles
+    must route through the hash witness and still converge."""
+    from pdf_parser_spark.operators.dedup import duplicate_components
+
+    # chain where a propagation round swaps fractional mass:
+    # 2.4-1.6 pair and 2.0-2.0... use distinct values with equal sums
+    pairs = spark.createDataFrame(
+        [(2.4, 1.6), (1.6, 0.9), (7.5, 8.5)], "a double, b double")
+    got = {round(r["doc_id"], 1): round(r["component"], 1)
+           for r in duplicate_components(pairs).collect()}
+    assert got == {2.4: 0.9, 1.6: 0.9, 0.9: 0.9, 7.5: 7.5, 8.5: 7.5}
