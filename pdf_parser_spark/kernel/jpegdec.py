@@ -72,6 +72,14 @@ class JpegError(ValueError):
     pass
 
 
+# Allocation sanity bound: the progressive coefficient store is
+# ~512 B/64-coeff block, so 2^26 pixels (8192x8192) keeps worst-case
+# decoder memory around half a GB per image — far above any real PDF
+# XObject, far below an executor-OOM 65535x65535 declared by a corrupt
+# SOF. Checked before any store/plane allocation.
+MAX_PIXELS = 1 << 26
+
+
 # ------------------------------------------------------------- huffman
 
 def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
@@ -250,6 +258,12 @@ def _decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 # silently run the YCbCr matrix over wrong channels —
                 # reject cleanly so callers fall back to passthrough
                 raise JpegError(f"unsupported component count {ncomp}")
+            if width * height > MAX_PIXELS:
+                # corrupt/adversarial SOF (up to 65535x65535) would
+                # otherwise allocate multi-GB stores/planes before any
+                # entropy data is validated — fail structured instead
+                raise JpegError(
+                    f"image {width}x{height} exceeds decoder pixel cap")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
@@ -276,6 +290,18 @@ def _decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 comp.td, comp.ta = tdta >> 4, tdta & 0xF
                 order.append(comp)
             if not progressive:
+                if len(order) != len(comps):
+                    # legal baseline non-interleaved multi-scan file
+                    # (one SOS per component): this decoder only
+                    # handles the single interleaved scan — returning
+                    # here would hand back a raster built from the
+                    # FIRST scan's components labeled as all of them
+                    # (corrupt output downstream). Fail structured so
+                    # callers take the byte-passthrough fallback.
+                    raise JpegError(
+                        "non-interleaved sequential scan "
+                        f"({len(order)} of {len(comps)} components) "
+                        "not supported")
                 pixels = _decode_scan(data, pos + seglen, order, qt,
                                       huff_dc, huff_ac, width, height,
                                       restart_interval)

@@ -40,7 +40,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     per-(key, slice) summary (<= S rows per key, never skewed) whose
     forward-fill is joined back on (key, slice). Results are
     identical to the unsliced path (pytest-asserted under a planted
-    90%-hot-key corpus)."""
+    90%-hot-key corpus).
+
+    Duplicate (key, right_ts) rows: both paths break the tie with the
+    SAME deterministic rule — the right row whose payload struct has
+    the greatest xxhash64 wins — so sliced and unsliced agree even on
+    non-pre-aggregated right sides. (Payload-identical duplicates are
+    indistinguishable anyway; distinct payloads colliding in xxhash64
+    is the only residual nondeterminism, at 2^-64 odds.) Standard
+    practice is still to pre-aggregate the right side to one row per
+    (key, ts) — see q19/q21 in queries.py."""
     left_cols = left.columns
     # The entire right payload rides in ONE struct column so the
     # forward-fill picks whole right rows atomically: a NULL in one
@@ -65,8 +74,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     if slices and slices > 1:
         filled = _sliced_ffill(unioned, slices)
     else:
+        # _side then payload-hash: right rows (side 0) sort before left
+        # rows at equal ts (inclusive match), and duplicate-(key, ts)
+        # right rows order deterministically — last() picks max hash,
+        # mirroring the sliced path's max_by tie-break
         w = (Window.partitionBy("_k")
-             .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+             .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                      F.xxhash64("_r").asc())
              .rowsBetween(Window.unboundedPreceding, 0))
         filled = unioned.select(
             "*", F.last("_r", ignorenulls=True).over(w).alias("_f"))
@@ -102,18 +116,25 @@ def _sliced_ffill(unioned: DataFrame, slices: int) -> DataFrame:
     # local fill within (key, slice): each hot key spreads over up to
     # `slices` tasks instead of one
     w1 = (Window.partitionBy("_k", "_sl")
-          .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+          .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                   F.xxhash64("_r").asc())
           .rowsBetween(Window.unboundedPreceding, 0))
     filled = sliced.select(
         "*", F.last("_r", ignorenulls=True).over(w1).alias("_fl"))
     # boundary carry: per (key, slice) the latest right struct (max_by
-    # skips the null ordering of left rows), forward-filled across
-    # slices — at most `slices` rows per key, so the per-key window
-    # here cannot be skewed. Slices are time-contiguous, hence every
-    # right row in an earlier slice is at-or-before every row here.
+    # skips the null ordering of left rows; the (ts, payload-hash)
+    # struct key makes equal-ts ties deterministic and identical to
+    # the window's ordering above), forward-filled across slices — at
+    # most `slices` rows per key, so the per-key window here cannot be
+    # skewed. Slices are time-contiguous, hence every right row in an
+    # earlier slice is at-or-before every row here.
     summary = (sliced.groupBy("_k", "_sl")
-               .agg(F.max_by("_r", F.when(F.col("_side") == 0,
-                                          F.col("_ts"))).alias("_last")))
+               .agg(F.max_by(
+                   "_r",
+                   F.when(F.col("_side") == 0,
+                          F.struct(F.col("_ts"),
+                                   F.xxhash64("_r").alias("_h"))))
+                    .alias("_last")))
     w2 = (Window.partitionBy("_k").orderBy("_sl")
           .rowsBetween(Window.unboundedPreceding, -1))
     carry = summary.select(

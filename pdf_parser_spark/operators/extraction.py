@@ -197,7 +197,7 @@ def extract_turns(turns: DataFrame, salt: int | None = None,
 
 def _encode_jpeg_batches(batches: Iterator[pa.RecordBatch]
                          ) -> Iterator[pa.RecordBatch]:
-    from pdf_parser_spark.kernel.jpegdec import encode_baseline_jpeg
+    from pdf_parser_spark.kernel.jpegdec import JpegError, encode_baseline_jpeg
 
     for batch in batches:
         cols = {n: batch.column(n).to_pylist()
@@ -206,8 +206,16 @@ def _encode_jpeg_batches(batches: Iterator[pa.RecordBatch]
         for fmt, w, h, data in zip(cols["format"], cols["width"],
                                    cols["height"], cols["data"]):
             if fmt == "raw-rgb":
-                out_fmt.append("jpeg")
-                out_data.append(encode_baseline_jpeg(data, w, h, 3))
+                # never-abort contract: a raster whose byte length
+                # disagrees with width*height*3 (malformed upstream
+                # stream) must not kill the Spark task — forward the
+                # row unchanged instead
+                try:
+                    out_data.append(encode_baseline_jpeg(data, w, h, 3))
+                    out_fmt.append("jpeg")
+                except (JpegError, ValueError):
+                    out_fmt.append(fmt)
+                    out_data.append(data)
             else:  # already JPEG (non-baseline passthrough)
                 out_fmt.append(fmt)
                 out_data.append(data)

@@ -82,3 +82,34 @@ def test_asof_sliced_equals_unsliced_under_hot_key(spark):
     hot_slices = {min(15, int((ts - mn) // width))
                   for k, ts in left_rows if k == 0}
     assert len(hot_slices) >= 8
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Duplicate (key, right_ts) rows with distinct payloads: sliced
+    and unsliced paths must pick the SAME winner (max payload-struct
+    xxhash64) — the tie is deterministic, not engine-dependent."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100, 1), ("k", 50, 2)], "key string, ts long, lid int")
+    right = spark.createDataFrame(
+        [("k", 50, 10), ("k", 50, 20), ("k", 50, 30), ("k", 90, 7)],
+        "key string, ts long, payload int")
+
+    uns = asof_join(left, right, key="key", left_ts="ts", right_ts="ts",
+                    right_payload=["payload"])
+    sl = asof_join(left, right, key="key", left_ts="ts", right_ts="ts",
+                   right_payload=["payload"], slices=4)
+    got_u = {r["lid"]: r["payload"] for r in uns.collect()}
+    got_s = {r["lid"]: r["payload"] for r in sl.collect()}
+    assert got_u == got_s
+    assert got_u[1] == 7                       # unambiguous latest
+    # the ts=50 winner is the max-xxhash64 payload struct, computed
+    # here independently of either execution path
+    win = (right.filter("ts = 50")
+           .select(F.struct("payload").alias("_r"))
+           .withColumn("h", F.xxhash64("_r"))
+           .orderBy(F.col("h").desc()).head()["_r"]["payload"])
+    assert got_u[2] == win

@@ -266,3 +266,74 @@ def test_rejects_cmyk_component_count():
     data[i + 9] = 4
     with pytest.raises(JpegError):
         decode_baseline_jpeg(bytes(data))
+
+
+def _patch_sos_to_single_component(data: bytes) -> bytes:
+    """Rewrite a 3-component baseline JPEG's SOS header to declare only
+    its first component (the non-interleaved multi-scan shape)."""
+    i = data.find(b"\xff\xda")
+    assert i >= 0
+    seglen = int.from_bytes(data[i + 2:i + 4], "big")
+    seg = data[i + 4:i + 2 + seglen]
+    ns = seg[0]
+    assert ns == 3
+    tail = seg[1 + 2 * ns:]            # ss, se, ahal
+    new_seg = bytes([1]) + seg[1:3] + tail
+    return (data[:i + 2] + (len(new_seg) + 2).to_bytes(2, "big")
+            + new_seg + data[i + 2 + seglen:])
+
+
+def test_non_interleaved_sequential_rejected():
+    """A sequential SOS covering fewer components than the SOF declares
+    must raise (not return a single-plane raster labeled 3-component —
+    that corrupted the sink downstream)."""
+    import numpy as np
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[..., 0] = 200
+    data = _patch_sos_to_single_component(
+        encode_baseline_jpeg(rgb.tobytes(), 8, 8, 3))
+    with pytest.raises(JpegError, match="non-interleaved"):
+        decode_baseline_jpeg(data)
+
+
+def test_oversized_sof_rejected_before_allocation():
+    """A corrupt SOF declaring 65535x65535 must fail structured (pixel
+    cap) instead of attempting multi-GB allocations."""
+    import numpy as np
+
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    data = bytearray(encode_baseline_jpeg(img.tobytes(), 8, 8, 1))
+    i = bytes(data).find(b"\xff\xc0")
+    assert i >= 0
+    data[i + 5:i + 9] = (65535).to_bytes(2, "big") * 2
+    with pytest.raises(JpegError, match="pixel cap"):
+        decode_baseline_jpeg(bytes(data))
+    # progressive path allocates its store at SOF too
+    from pdf_parser_spark.kernel.jpegdec import encode_progressive_jpeg
+    pdata = bytearray(encode_progressive_jpeg(img.tobytes(), 8, 8, 1))
+    j = bytes(pdata).find(b"\xff\xc2")
+    assert j >= 0
+    pdata[j + 5:j + 9] = (65535).to_bytes(2, "big") * 2
+    with pytest.raises(JpegError, match="pixel cap"):
+        decode_baseline_jpeg(bytes(pdata))
+
+
+def test_sink_forwards_malformed_raster(spark):
+    """never-abort contract: a raw-rgb row whose data length disagrees
+    with width*height*3 is forwarded unchanged, not a task abort."""
+    from pdf_parser_spark.operators.extraction import encode_images_jpeg
+
+    rows = [("c", 0, 1, "Im1", 4, 4, "DeviceRGB", "raw-rgb",
+             bytearray(b"\x01\x02\x03")),        # 3 != 4*4*3
+            ("c", 0, 1, "Im2", 2, 2, "DeviceRGB", "raw-rgb",
+             bytearray(bytes(range(12))))]       # valid 2x2 rgb
+    imgs = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, page int, name string, "
+              "width int, height int, colorspace string, format string, "
+              "data binary")
+    got = {r["name"]: r for r in encode_images_jpeg(imgs).collect()}
+    assert got["Im1"]["format"] == "raw-rgb"
+    assert bytes(got["Im1"]["data"]) == b"\x01\x02\x03"
+    assert got["Im2"]["format"] == "jpeg"
+    assert bytes(got["Im2"]["data"]).startswith(b"\xff\xd8")
