@@ -3,12 +3,19 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct, exactly like the PDF payloads do. The Spark-side
 plumbing — schema, partitioning, mapInPandas batch shape, frame
-sampling — is real and tested; the *codec* itself is a STUB: the
-container ships no image/audio libraries, so ``decode_meta`` tries
-PIL/real decoders first and falls back to a clearly-marked
-deterministic fake (header arithmetic on the payload length + byte
-sum). Swap ``_fake_decode`` for a real decoder on a cluster with
-codecs installed; nothing else changes.
+sampling — is real and tested.
+
+Decode is REAL for JPEG payloads since round 3: ``decode_meta`` runs
+the in-repo T.81 decoder (``kernel/jpegdec.py``) on any payload with a
+JPEG SOI marker, reporting decoded width/height/channels
+(decoder='jpegdec'); ``with_jpeg_payloads`` plants deterministic
+encoder-built JPEG fixtures on a doc_id-keyed subset so the path is
+exercised (and oracle-able) without external data. PIL is probed next
+for other container formats; everything else falls back to the
+clearly-marked deterministic fake (header arithmetic on payload
+length + byte sum) because this container ships no image/audio
+libraries — swap that last resort for libvips/ffmpeg on a real
+cluster; nothing else changes.
 
 Scale: decode is embarrassingly parallel (no shuffle); batches cross
 the Arrow boundary once per ~256 rows (session.py caps batch rows
@@ -19,6 +26,7 @@ Python — metadata joins back by id if other columns are needed.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -48,6 +56,56 @@ def as_media(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.lit("image").alias("modality"),
         F.encode(F.col(text_col), "utf-8").alias("payload"))
+
+
+JPEG_EVERY = 5
+# three deterministic gray fixture shapes — distinct dims so the
+# decoded metadata is discriminative per doc_id
+JPEG_SPECS = ((16, 8), (24, 16), (8, 32))
+
+
+@lru_cache(maxsize=None)
+def jpeg_fixture(i: int) -> bytes:
+    """Deterministic baseline-JPEG fixture bytes (gradient gray raster
+    encoded by the in-repo codec) — stands in for stored image blobs."""
+    from pdf_parser_spark.kernel.jpegdec import encode_baseline_jpeg
+
+    w, h = JPEG_SPECS[i % len(JPEG_SPECS)]
+    px = bytes((x * 7 + y * 13 + i * 29) % 256
+               for y in range(h) for x in range(w))
+    return encode_baseline_jpeg(px, w, h, 1)
+
+
+def with_jpeg_payloads(media: DataFrame,
+                       every: int = JPEG_EVERY) -> DataFrame:
+    """Replace the payload of every ``every``-th doc (doc_id-keyed)
+    with one of the deterministic JPEG fixtures — pure codegen (binary
+    literals in a when-chain, no UDF), so the real-decode path is
+    driven without any external data."""
+    m3 = F.pmod(F.col("doc_id"), F.lit(len(JPEG_SPECS)))
+    pick = F.when(m3 == 0, F.lit(jpeg_fixture(0)))
+    for i in range(1, len(JPEG_SPECS) - 1):
+        pick = pick.when(m3 == i, F.lit(jpeg_fixture(i)))
+    pick = pick.otherwise(F.lit(jpeg_fixture(len(JPEG_SPECS) - 1)))
+    is_jpeg = F.pmod(F.col("doc_id"), F.lit(every)) == 0
+    return media.withColumn(
+        "payload", F.when(is_jpeg, pick).otherwise(F.col("payload")))
+
+
+def _try_jpegdec(payload: bytes) -> dict | None:
+    """REAL decode via the in-repo T.81 decoder for JPEG payloads
+    (SOI-marker gated; utf-8 text can never contain 0xFF, so document
+    stand-in payloads always skip this)."""
+    if not payload.startswith(b"\xff\xd8"):
+        return None
+    from pdf_parser_spark.kernel.jpegdec import JpegError, decode_baseline_jpeg
+    try:
+        w, h, n, _pixels = decode_baseline_jpeg(payload)
+    except JpegError:
+        return None
+    return {"n_bytes": len(payload), "width": w, "height": h,
+            "channels": n, "byte_sum": sum(payload) % 65536,
+            "decoder": "jpegdec"}
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -106,7 +164,9 @@ def decode_meta(media: DataFrame) -> DataFrame:
             metas = []
             for payload in pdf["payload"]:
                 data = bytes(payload) if payload is not None else b""
-                metas.append(_try_real_decode(data) or _fake_decode(data))
+                metas.append(_try_jpegdec(data)
+                             or _try_real_decode(data)
+                             or _fake_decode(data))
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             out.insert(1, "modality", pdf["modality"].values)

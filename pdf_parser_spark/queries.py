@@ -1285,42 +1285,72 @@ WHERE rank <= {ANN_K}
 # =====================================================================
 
 def mm01_decode_meta(spark, sf_dir):
-    """Binary payload plumbing + (stubbed) decode via mapInPandas.
-    Deterministic fake decode → SQL-replicable metadata columns
-    (byte_sum/decoder are pytest-covered, excluded here)."""
+    """Binary payload plumbing + decode via mapInPandas. Every 5th doc
+    carries a REAL deterministic JPEG fixture payload and is decoded by
+    the in-repo T.81 codec (width/height/channels from the actual SOF +
+    scan — decoder='jpegdec'); the rest keep the document stand-in
+    bytes and the clearly-marked fake codec. The oracle regenerates the
+    fixture dims/byte-lengths from the same spec table, so the real
+    decode path is cell-exact driver-checked (byte_sum/decoder are
+    pytest-covered, excluded here)."""
     d = _spread(_t(spark, sf_dir, "documents"))
-    media = multimodal.as_media(d)
+    media = multimodal.with_jpeg_payloads(multimodal.as_media(d))
     return multimodal.decode_meta(media).select(
         "doc_id", "modality", "n_bytes", "width", "height", "channels")
 
 
-ORACLE_MM01 = """
+# (n_bytes, width, height) per jpeg-fixture variant i = doc_id % 3 —
+# byte lengths computed from the cached fixture bytes at oracle-build
+# time (input generation, independent of the decode path under test)
+def _mm_nbytes_case() -> str:
+    lens = [len(multimodal.jpeg_fixture(i))
+            for i in range(len(multimodal.JPEG_SPECS))]
+    return ("CASE WHEN doc_id % {e} = 0 THEN (CASE doc_id % 3 "
+            "WHEN 0 THEN {l0} WHEN 1 THEN {l1} ELSE {l2} END) "
+            "ELSE octet_length(encode(text)) END").format(
+                e=multimodal.JPEG_EVERY,
+                l0=lens[0], l1=lens[1], l2=lens[2])
+
+
+def _mm01_oracle_sql() -> str:
+    (w0, h0), (w1, h1), (w2, h2) = multimodal.JPEG_SPECS
+    e = multimodal.JPEG_EVERY
+    return f"""
 SELECT doc_id, 'image' AS modality,
-       octet_length(encode(text)) AS n_bytes,
-       CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
-       CAST(1 + (octet_length(encode(text)) * 31) % 480 AS INTEGER)
-         AS height,
-       CAST(3 AS INTEGER) AS channels
+       CAST({_mm_nbytes_case()} AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % {e} = 0
+                 THEN (CASE doc_id % 3 WHEN 0 THEN {w0}
+                       WHEN 1 THEN {w1} ELSE {w2} END)
+                 ELSE 1 + octet_length(encode(text)) % 640 END
+            AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % {e} = 0
+                 THEN (CASE doc_id % 3 WHEN 0 THEN {h0}
+                       WHEN 1 THEN {h1} ELSE {h2} END)
+                 ELSE 1 + (octet_length(encode(text)) * 31) % 480 END
+            AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % {e} = 0 THEN 1 ELSE 3 END
+            AS INTEGER) AS channels
 FROM documents
 """
 
 
 def mm02_frame_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    media = multimodal.as_media(d)
+    media = multimodal.with_jpeg_payloads(multimodal.as_media(d))
     return multimodal.frame_sample(media, stride=multimodal.FRAME_STRIDE)
 
 
-ORACLE_MM02 = f"""
+def _mm02_oracle_sql() -> str:
+    nb = _mm_nbytes_case()
+    stride = multimodal.FRAME_STRIDE
+    return f"""
 SELECT doc_id, 'image' AS modality,
-       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       CAST(unnest(range(0, ((octet_length(encode(text)) - 1)
-                             // {multimodal.FRAME_STRIDE}) + 1))
+       CAST({nb} AS INTEGER) AS n_bytes,
+       CAST(unnest(range(0, (({nb}) - 1) // {stride} + 1))
             AS INTEGER) AS frame_idx,
-       unnest(range(0, ((octet_length(encode(text)) - 1)
-                        // {multimodal.FRAME_STRIDE}) + 1))
-         * {multimodal.FRAME_STRIDE} AS byte_offset
-FROM documents WHERE octet_length(encode(text)) > 0
+       unnest(range(0, (({nb}) - 1) // {stride} + 1))
+         * {stride} AS byte_offset
+FROM documents WHERE {nb} > 0
 """
 
 
@@ -1630,8 +1660,8 @@ ORACLES: dict[str, str] = {
     "ann01_cosine_topk": ORACLE_ANN01,
     "ann02_lsh_topk": _ann02_oracle_sql(),
     "ann03_ivf_topk": _ann03_oracle_sql(),
-    "mm01_decode_meta": ORACLE_MM01,
-    "mm02_frame_sample": ORACLE_MM02,
+    "mm01_decode_meta": _mm01_oracle_sql(),
+    "mm02_frame_sample": _mm02_oracle_sql(),
     # dd03/dd04 (xxhash64 LSH lanes) and ex06 (PDF image kernel +
     # JPEG codec) are intentionally oracle-free → rows-only checks;
     # their semantics are pinned by oracled twins (dd07/dd02) and by

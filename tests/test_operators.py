@@ -517,3 +517,23 @@ def test_duplicate_components_fractional_ids(spark):
     got = {round(r["doc_id"], 1): round(r["component"], 1)
            for r in duplicate_components(pairs).collect()}
     assert got == {2.4: 0.9, 1.6: 0.9, 0.9: 0.9, 7.5: 7.5, 8.5: 7.5}
+
+
+def test_decode_meta_real_jpeg_path(spark, docs):
+    """doc_id % 5 == 0 rows carry real JPEG fixture payloads and must
+    be decoded by the in-repo T.81 codec (decoder='jpegdec'), with
+    width/height/channels from the actual SOF — not the fake stub."""
+    from pdf_parser_spark.operators.multimodal import (
+        JPEG_SPECS, as_media, decode_meta, jpeg_fixture, with_jpeg_payloads,
+    )
+
+    media = with_jpeg_payloads(as_media(docs))
+    got = {r["doc_id"]: r for r in decode_meta(media).collect()}
+    w0, h0 = JPEG_SPECS[0]
+    assert got[0]["decoder"] == "jpegdec"
+    assert (got[0]["width"], got[0]["height"]) == (w0, h0)
+    assert got[0]["channels"] == 1
+    assert got[0]["n_bytes"] == len(jpeg_fixture(0))
+    for i in (1, 2, 3, 4):                  # non-multiples keep the stub
+        assert got[i]["decoder"] == "fake"
+        assert got[i]["channels"] == 3
