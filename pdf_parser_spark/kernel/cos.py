@@ -278,14 +278,20 @@ class Lexer:
     """
 
     def __init__(self, buffer: bytes, start_offset: int = 0,
-                 content_mode: bool = False):
-        if len(buffer) == 0:
-            raise LexerError("EmptyBuffer", start_offset)
+                 content_mode: bool = False, pos: int = 0):
+        """``pos``: begin scanning at ``buffer[pos]`` WITHOUT slicing —
+        per-object parses over a whole-document buffer would otherwise
+        copy the remaining tail once per object (O(objects x doc_size)
+        bytes for a large PDF). Token offsets are ``start_offset + i``
+        with ``i`` an index into ``buffer``, so pos-callers pass the
+        document's own base offset (usually 0) as ``start_offset``."""
+        if len(buffer) <= pos:
+            raise LexerError("EmptyBuffer", start_offset + pos)
         self.buffer = buffer
         self.start_offset = start_offset
         self.content_mode = content_mode
-        self.i = 0
-        self.token_head_i = 0
+        self.i = pos
+        self.token_head_i = pos
         self.tokens: list[Token] = []
         self.has_ind_obj_start = False
         self.has_ind_obj_end = False
@@ -344,8 +350,8 @@ class Lexer:
         append = tokens.append
         master = _OM_RE.match
         new = tuple.__new__
-        i = 0
-        head = 0
+        i = self.i
+        head = self.token_head_i
 
         def err(kind: str) -> LexerError:
             self.i, self.token_head_i = i, head
@@ -505,8 +511,8 @@ class Lexer:
         append = tokens.append
         master = _CM_RE.match
         new = tuple.__new__
-        i = 0
-        head = 0
+        i = self.i
+        head = self.token_head_i
         # decoded-op memo: operator byte-runs repeat heavily (Tj/Td/TJ
         # ...), so decode+keyword-classify once per distinct run
         op_memo: dict[bytes, str] = {}
@@ -631,8 +637,8 @@ class Lexer:
         append = tokens.append
         skip_match = _SKIP_RE.match
         num_match = _NUM_RE.match
-        i = 0
-        head = 0
+        i = self.i
+        head = self.token_head_i
 
         def err(kind: str) -> LexerError:
             self.i, self.token_head_i = i, head
@@ -1027,17 +1033,19 @@ class Parser:
     (ref src/parser.rs:56-81).
     """
 
-    def __init__(self, buffer: bytes, start_offset: int = 0):
-        if len(buffer) == 0:
-            raise ParserError("EmptyBuffer", start_offset)
-        lexer = Lexer(buffer, start_offset)
+    def __init__(self, buffer: bytes, start_offset: int = 0,
+                 pos: int = 0):
+        if len(buffer) <= pos:
+            raise ParserError("EmptyBuffer", start_offset + pos)
+        lexer = Lexer(buffer, start_offset, pos=pos)
         try:
             self.tokens = lexer.tokenize()
         except LexerError as e:
-            raise ParserError(f"Lexer({e.kind})", start_offset) from e
+            raise ParserError(f"Lexer({e.kind})",
+                              start_offset + pos) from e
         if lexer.has_unbalanced_indirectobj():
-            raise ParserError("IndirectObjMissMatch", start_offset)
-        self.start_offset = start_offset
+            raise ParserError("IndirectObjMissMatch", start_offset + pos)
+        self.start_offset = start_offset + pos
         self.token_i = 0
 
     def _next(self) -> Token | None:
@@ -1132,7 +1140,10 @@ class Parser:
 def parse_object_at(buffer: bytes, offset: int) -> Object:
     """Parse one object starting at ``offset`` of the whole-document
     buffer. The lexer stops at ``endobj``/``stream`` so this is O(object),
-    not O(document) — replaces the reference's adaptive 200-byte buffer
-    growth (src/object.rs:331-374), unnecessary with the document in
-    memory (SURVEY.md §2.2 J3)."""
-    return Parser(buffer[offset:], offset).parse()
+    not O(object)+O(tail-copy) — the ``pos`` cursor scans the shared
+    whole-document buffer in place (a ``buffer[offset:]`` slice here
+    would copy the remaining tail once PER OBJECT: O(n_objects x
+    doc_size) bytes on a large PDF). Replaces the reference's adaptive
+    200-byte buffer growth (src/object.rs:331-374), unnecessary with
+    the document in memory (SURVEY.md §2.2 J3)."""
+    return Parser(buffer, 0, pos=offset).parse()

@@ -309,6 +309,8 @@ def parse_object_stream(data: bytes, n: int, first: int) -> dict:
         obj_num = ints[2 * i]
         rel_off = ints[2 * i + 1]
         abs_off = first + rel_off
-        obj = Parser(data[abs_off:], abs_off).parse()
+        # pos cursor, not a slice: slicing would copy the stream tail
+        # once per packed object
+        obj = Parser(data, 0, pos=abs_off).parse()
         out[obj_num] = obj
     return out

@@ -103,3 +103,29 @@ def test_parse_object_at_absolute_offsets():
     buf = b"junkjunk 7 0 obj\n42 endobj"
     obj = parse_object_at(buf, 9)
     assert obj == PdfIndirectObj(7, 0, PdfInteger(42, 17), 9)
+
+
+def test_pos_parse_equals_slice_parse():
+    """The zero-copy pos cursor must produce byte-identical objects
+    (values AND absolute offsets) to the old slice-then-parse form,
+    across every fixture document's xref'd objects."""
+    from pdf_parser_spark.fixtures import FIXTURES, get_fixture
+    from pdf_parser_spark.kernel.cos import Parser
+    from pdf_parser_spark.kernel.fileparse import XREF_OFFSET, load_xref_chain
+
+    checked = 0
+    for fid in sorted(FIXTURES):
+        buf, _g = get_fixture(fid)
+        try:
+            xref = load_xref_chain(
+                buf, lambda s: b"")  # raw classic tables only
+        except Exception:
+            continue
+        for num, (typ, value, _gen) in sorted(xref.entries.items()):
+            if typ != XREF_OFFSET:
+                continue
+            via_pos = Parser(buf, 0, pos=value).parse()
+            via_slice = Parser(buf[value:], value).parse()
+            assert via_pos == via_slice
+            checked += 1
+    assert checked > 10
