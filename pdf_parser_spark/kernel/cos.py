@@ -284,7 +284,11 @@ class Lexer:
         copy the remaining tail once per object (O(objects x doc_size)
         bytes for a large PDF). Token offsets are ``start_offset + i``
         with ``i`` an index into ``buffer``, so pos-callers pass the
-        document's own base offset (usually 0) as ``start_offset``."""
+        document's own base offset (usually 0) as ``start_offset``.
+        NOTE pos does NOT bound the scan on the right: object-mode
+        lexing stops at endobj/stream; for BARE objects with no such
+        terminator (ObjStm members) the caller must slice to the
+        object's extent first or the lex runs to the buffer end."""
         if len(buffer) <= pos:
             raise LexerError("EmptyBuffer", start_offset + pos)
         self.buffer = buffer
@@ -352,6 +356,7 @@ class Lexer:
         new = tuple.__new__
         i = self.i
         head = self.token_head_i
+        base = i
 
         def err(kind: str) -> LexerError:
             self.i, self.token_head_i = i, head
@@ -429,9 +434,9 @@ class Lexer:
                         if tokens:
                             head = tokens.pop().offset - so
                         else:
-                            head = 0
+                            head = base
                     else:
-                        head = 0
+                        head = base
                     raise err("InvalidIndirectRef")
             elif g == 10:              # 'obj'
                 if (len(tokens) >= 2 and tokens[-1].kind == TK_INT
@@ -452,9 +457,9 @@ class Lexer:
                         if tokens:
                             head = tokens.pop().offset - so
                         else:
-                            head = 0
+                            head = base
                     else:
-                        head = 0
+                        head = base
                     raise err("InvalidIndirectObj")
             elif g == 11:              # 'endobj' stops the lexer
                 if i < n and buf[i] not in _IRREGULAR:
@@ -639,6 +644,7 @@ class Lexer:
         num_match = _NUM_RE.match
         i = self.i
         head = self.token_head_i
+        base = i
 
         def err(kind: str) -> LexerError:
             self.i, self.token_head_i = i, head
@@ -784,9 +790,9 @@ class Lexer:
                         if tokens:
                             head = tokens.pop().offset - so
                         else:
-                            head = 0
+                            head = base
                     else:
-                        head = 0
+                        head = base
                     raise err("InvalidIndirectRef")
 
                 # Indirect object start (ref :593-619)
@@ -810,9 +816,9 @@ class Lexer:
                         if tokens:
                             head = tokens.pop().offset - so
                         else:
-                            head = 0
+                            head = base
                     else:
-                        head = 0
+                        head = base
                     raise err("InvalidIndirectObj")
 
                 # endobj forces the lexer to stop (ref :621-628)

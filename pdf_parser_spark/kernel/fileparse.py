@@ -304,13 +304,20 @@ def parse_object_stream(data: bytes, n: int, first: int) -> dict:
         return {}
     toks = tok_parser.tokens
     ints = [t.value for t in toks if t.kind == "int"]
+    # Packed objects are BARE (no endobj/stream terminator), so an
+    # unbounded lex from each offset would tokenize to the end of the
+    # stream once per object — O(n_objects x stream_size) token work.
+    # Each member's extent is bounded by the next member's offset
+    # (ascending per §7.5.7 practice; guarded below), so a per-object
+    # slice is linear in total stream bytes AND bounds the lex.
     out = {}
+    starts = sorted(first + ints[2 * i + 1] for i in range(n))
+    next_of = {off: (starts[j + 1] if j + 1 < len(starts) else len(data))
+               for j, off in enumerate(starts)}
     for i in range(n):
         obj_num = ints[2 * i]
-        rel_off = ints[2 * i + 1]
-        abs_off = first + rel_off
-        # pos cursor, not a slice: slicing would copy the stream tail
-        # once per packed object
-        obj = Parser(data, 0, pos=abs_off).parse()
+        abs_off = first + ints[2 * i + 1]
+        end = next_of.get(abs_off, len(data))
+        obj = Parser(data[abs_off:end], abs_off).parse()
         out[obj_num] = obj
     return out

@@ -72,12 +72,14 @@ class JpegError(ValueError):
     pass
 
 
-# Allocation sanity bound: the progressive coefficient store is
-# ~512 B/64-coeff block, so 2^26 pixels (8192x8192) keeps worst-case
-# decoder memory around half a GB per image — far above any real PDF
-# XObject, far below an executor-OOM 65535x65535 declared by a corrupt
-# SOF. Checked before any store/plane allocation.
-MAX_PIXELS = 1 << 26
+# Allocation sanity bound, in SAMPLES (width x height x components):
+# the progressive coefficient store and the render planes each cost
+# ~8 B/sample (int64/float64), so 2^25 samples caps worst-case decoder
+# memory at ~0.5-0.8 GB per image INCLUDING the RGB output — far above
+# any real PDF XObject (8192x4096 gray, 3300x3300 RGB), far below an
+# executor-OOM 65535x65535x3 declared by a corrupt SOF. Checked before
+# any store/plane allocation.
+MAX_SAMPLES = 1 << 25
 
 
 # ------------------------------------------------------------- huffman
@@ -258,12 +260,13 @@ def _decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 # silently run the YCbCr matrix over wrong channels —
                 # reject cleanly so callers fall back to passthrough
                 raise JpegError(f"unsupported component count {ncomp}")
-            if width * height > MAX_PIXELS:
-                # corrupt/adversarial SOF (up to 65535x65535) would
+            if width * height * ncomp > MAX_SAMPLES:
+                # corrupt/adversarial SOF (up to 65535x65535x3) would
                 # otherwise allocate multi-GB stores/planes before any
                 # entropy data is validated — fail structured instead
                 raise JpegError(
-                    f"image {width}x{height} exceeds decoder pixel cap")
+                    f"image {width}x{height}x{ncomp} exceeds decoder "
+                    "pixel cap")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]

@@ -566,11 +566,20 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20,
     which is the correct choice for a long-running 100 TB job. When
     None (default, local/test mode), ``localCheckpoint`` keeps state
     in executor memory: faster, but a lost executor mid-iteration
-    fails the job.
+    fails the job. Hygiene: the caller's previously-configured
+    checkpoint dir is restored on exit, and session.py enables
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` so files of
+    superseded rounds are removed once their frames are unreferenced
+    (without it, ~max_iter full copies of the labels frame would sit
+    in the directory for the life of the app).
     """
     spark = pairs.sparkSession
+    restore_dir = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = spark.sparkContext
+        prev = sc._jsc.sc().getCheckpointDir()
+        restore_dir = prev.get() if prev.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
         def ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -578,6 +587,15 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20,
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    try:
+        return _propagate_components(pairs, max_iter, ckpt)
+    finally:
+        if checkpoint_dir is not None and restore_dir is not None:
+            spark.sparkContext.setCheckpointDir(restore_dir)
+
+
+def _propagate_components(pairs: DataFrame, max_iter: int,
+                          ckpt) -> DataFrame:
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"),

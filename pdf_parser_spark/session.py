@@ -37,6 +37,12 @@ def get_spark(app_name: str = "pdf_parser_spark", cpus: int | None = None,
                 str(arrow_batch_rows))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # iterative operators (duplicate_components) checkpoint every
+        # round; without the cleaner, reliable-checkpoint files for
+        # superseded rounds accumulate on HDFS/object store for the
+        # life of the app (~max_iter full copies of the frame)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints",
+                "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -68,7 +68,7 @@ def measure(cpus: int, n_convs: int) -> dict:
         return time.perf_counter() - t0, dict(obs.get)
 
     run()  # full-size warm-up, discarded
-    samples = [run() for _ in range(2)]
+    samples = [run() for _ in range(3)]
     # best sample: we are measuring capability at each parallelism
     # level; microVM noise (steal time, host GC) only ever adds time
     sec = min(s for s, _ in samples)
@@ -86,30 +86,75 @@ def measure(cpus: int, n_convs: int) -> dict:
     }
 
 
+def hardware_ceiling(n: int, n4: int, dur: float = 5.0) -> dict:
+    """Calibrate the MACHINE's own N->4N ceiling with a pure-Python
+    busy loop (no Spark, no I/O): per-process iteration rate at n vs
+    n4 concurrent processes. On a single box the 4N level runs each
+    core slower (all-core turbo droop + SMT sibling sharing + host
+    steal under load), so even PERFECT software cannot exceed
+    ceiling = 4 * rate(n4) / rate(n) / 4 = rate(n4)/rate(n). A real
+    4N-EXECUTOR cluster (4x machines, same per-core clocks) has
+    ceiling ~1.0 — this calibration separates the software's scaling
+    from single-machine physics."""
+    import multiprocessing as mp
+
+    def burn(q, d):
+        t0 = time.perf_counter()
+        x = 0
+        while time.perf_counter() - t0 < d:
+            for _ in range(10000):
+                x += 1
+        q.put(x)
+
+    rates = {}
+    for nproc in (n, n4):
+        q = mp.Queue()
+        procs = [mp.Process(target=burn, args=(q, dur))
+                 for _ in range(nproc)]
+        for p in procs:
+            p.start()
+        tots = [q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        rates[nproc] = sum(tots) / len(tots) / dur
+    return {"per_core_rate_n": round(rates[n] / 1e6, 1),
+            "per_core_rate_4n": round(rates[n4] / 1e6, 1),
+            "ceiling": round(rates[n4] / rates[n], 3)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--convs", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_SCALE_CONVS",
                                                "30000")))
+    ap.add_argument("--levels", type=str, default="4,16",
+                    help="N,4N parallelism pair (default 4,16; use 2,8 "
+                         "when the host shows heavy contention — both "
+                         "levels must keep idle headroom)")
+    ap.add_argument("--rounds", type=int, default=4)
     args = ap.parse_args()
 
     if args.cpus is not None:
         print(json.dumps(measure(args.cpus, args.convs)))
         return
 
+    lo, hi = (int(x) for x in args.levels.split(","))
     results: dict[int, dict] = {}
-    # N=4 vs 4N=16 on the 32-core box: both levels keep idle headroom,
-    # so the comparison isolates the software's scaling from single-
-    # machine physics (all-core turbo drop + shared L3) that a real 4N-
-    # EXECUTOR cluster would not have. The 8-vs-32 numbers are also
-    # reported in BASELINE.md with that caveat.
+    # N vs 4N on the 32-core box: both levels keep idle headroom, so
+    # the comparison isolates the software's scaling from single-
+    # machine physics (all-core turbo drop, SMT sibling sharing,
+    # shared L3, host steal under load) that a real 4N-EXECUTOR
+    # cluster would not have. hardware_ceiling() measures that
+    # physics directly and is reported alongside.
     #
-    # Levels are INTERLEAVED (4,16,4,16,...) because the sandbox host's
-    # absolute speed drifts ~2x over minutes (steal time); interleaving
-    # exposes both levels to the same drift, and best-per-level compares
-    # like with like.
-    for cpus in (4, 16, 4, 16, 4, 16):
+    # Levels are INTERLEAVED (N,4N,N,4N,...) because the sandbox
+    # host's absolute speed drifts 2-3x over minutes (steal time);
+    # interleaving exposes both levels to the same drift, and
+    # best-per-level compares like with like. --rounds interleaved
+    # rounds x 3 measured runs each: steal windows last whole
+    # minutes — enough samples that each level hits a quiet window.
+    for cpus in (lo, hi) * args.rounds:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--cpus", str(cpus), "--convs", str(args.convs)],
@@ -123,15 +168,19 @@ def main() -> None:
         else:
             results[cpus]["secs_all"] += r["secs_all"]
 
-    n, n4 = results[4], results[16]
-    eff = (n4["turns_per_sec"] / n["turns_per_sec"]) / (16 / 4)
+    n, n4 = results[lo], results[hi]
+    eff = (n4["turns_per_sec"] / n["turns_per_sec"]) / (hi / lo)
+    ceil = hardware_ceiling(lo, hi)
     print(json.dumps({
-        "protocol": "same input, local[4] vs local[16], 256 fixed "
-                    "partitions, warmed sessions, separate JVMs, "
-                    "best of 3 interleaved rounds x 2 runs after warm-up",
+        "protocol": f"same input, local[{lo}] vs local[{hi}], 256 "
+                    "fixed partitions, warmed sessions, separate JVMs, "
+                    f"best of {args.rounds} interleaved rounds x 3 "
+                    "runs after warm-up",
         "n": n, "4n": n4,
         "speedup": round(n4["turns_per_sec"] / n["turns_per_sec"], 2),
         "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling": ceil,
+        "efficiency_vs_ceiling": round(eff / ceil["ceiling"], 3),
         "criterion": "efficiency >= 0.8 (north_rule)",
         "pass": eff >= 0.8,
     }))

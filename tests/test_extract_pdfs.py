@@ -171,3 +171,59 @@ def test_undefined_keyword_is_lexer_error_not_typeerror():
     assert res["parse_error"] is not None
     assert "UndefinedKeyword" in res["parse_error"]
     assert "TypeError" not in res["parse_error"]
+
+
+# Per-fixture parsed-object-count goldens: pinned so a kernel change
+# that silently skips (or double-parses) objects while leaving
+# text/pages/spans identical is still caught. ex08's driver oracle
+# covers text_md5/len/pages/spans; object counts live here because the
+# golden builder has no kernel-independent way to derive them.
+N_OBJECTS_GOLDEN = {
+    "pdf-cmap": 6,
+    "pdf-encoding-diff": 6,
+    "pdf-flate-text": 6,
+    "pdf-image-dct": 4,
+    "pdf-image-dct-prog": 4,
+    "pdf-image-dct-smask": 4,
+    "pdf-image-flate": 5,
+    "pdf-incremental": 5,
+    "pdf-large": 43,
+    "pdf-lzw-text": 5,
+    "pdf-min-text": 5,
+    "pdf-multipage": 10,
+    "pdf-objstm": 6,
+    "pdf-tj-array": 6,
+    "pdf-xrefstream": 5,
+}
+
+
+def test_fixture_n_objects_golden():
+    from pdf_parser_spark.fixtures import FIXTURES, get_fixture
+    from pdf_parser_spark.kernel.extract import extract_text
+
+    assert set(N_OBJECTS_GOLDEN) == set(FIXTURES)
+    for fid, want in N_OBJECTS_GOLDEN.items():
+        buf, _g = get_fixture(fid)
+        res = extract_text(buf)
+        assert res["parse_error"] is None, fid
+        assert res["n_objects"] == want, fid
+
+
+def test_pos_lexer_backtrack_error_offset():
+    """Regression (round-3 review): under the pos cursor, a bare 'R'
+    backtrack failure must report an offset at/after the scan base,
+    not offset 0 of the buffer."""
+    import pytest
+
+    from pdf_parser_spark.kernel.cos import Lexer, LexerError
+
+    pad = b" " * 5000
+    buf = pad + b"R"
+    with pytest.raises(LexerError) as ei:
+        Lexer(buf, 0, pos=5000).tokenize()
+    assert ei.value.offset == 5000
+    # slice form agrees (kind and relative position)
+    with pytest.raises(LexerError) as ei2:
+        Lexer(buf[5000:], 5000).tokenize()
+    assert ei2.value.kind == ei.value.kind
+    assert ei2.value.offset == 5000
