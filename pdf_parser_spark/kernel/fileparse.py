@@ -311,7 +311,10 @@ def parse_object_stream(data: bytes, n: int, first: int) -> dict:
     # (ascending per §7.5.7 practice; guarded below), so a per-object
     # slice is linear in total stream bytes AND bounds the lex.
     out = {}
-    starts = sorted(first + ints[2 * i + 1] for i in range(n))
+    # unique+sorted: duplicate member offsets (two entries pointing at
+    # the same bytes) must each get the full extent to the NEXT
+    # DISTINCT offset, not a zero-length slice
+    starts = sorted({first + ints[2 * i + 1] for i in range(n)})
     next_of = {off: (starts[j + 1] if j + 1 < len(starts) else len(data))
                for j, off in enumerate(starts)}
     for i in range(n):

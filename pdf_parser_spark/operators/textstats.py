@@ -166,3 +166,59 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         % F.lit(FINGERPRINT_MOD),
     )
     return docs.withColumn("fingerprint", fp)
+
+
+# ----------------------------------------------------------- repetition
+
+def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models", quality-filter appendix): heavily repetitious
+    documents (boilerplate, scraper loops, keyword stuffing) are a
+    standard removal class in web-scale curation.
+
+    - ``dup_line_frac``:  fraction of lines that repeat an earlier
+      line (1 - distinct/total over '\\n'-split lines)
+    - ``dup_word_frac``:  same over normalized whitespace tokens
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      bigram / total bigram occurrences (NON-distinct bigrams,
+      unlike ``dedup.shingles`` which distincts for MinHash)
+
+    Pure codegen'd projections (no shuffle, no Python). The per-doc
+    top-bigram count is O(distinct_bigrams x bigrams) array work —
+    bounded by document length, embarrassingly parallel, and exactly
+    reproducible in DuckDB (the pytest oracle pins it cell-for-cell;
+    ratios rounded to 6dp for cross-engine float stability).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines)))
+                / n_lines.cast("double"), 6)).otherwise(0.0)
+
+    words = norm_tokens(F.col(text_col))
+    n_words = F.size(words)
+    dup_word = F.when(
+        n_words > 0,
+        F.round((n_words - F.size(F.array_distinct(words)))
+                / n_words.cast("double"), 6)).otherwise(0.0)
+
+    n_bg = n_words - 1
+    idx = F.sequence(F.lit(0), F.greatest(n_bg - 1, F.lit(0)))
+    bigrams = F.when(
+        n_bg > 0,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", F.slice(words, i + 1, 2)))).otherwise(
+        F.array().cast("array<string>"))
+    top = F.array_max(F.transform(
+        F.array_distinct(bigrams),
+        lambda d: F.size(F.filter(bigrams, lambda x: x == d))))
+    top_frac = F.when(
+        n_bg > 0,
+        F.round(top / n_bg.cast("double"), 6)).otherwise(0.0)
+
+    return docs.withColumns({
+        "dup_line_frac": dup_line,
+        "dup_word_frac": dup_word,
+        "top_bigram_frac": top_frac,
+    })

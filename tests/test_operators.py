@@ -537,3 +537,74 @@ def test_decode_meta_real_jpeg_path(spark, docs):
     for i in (1, 2, 3, 4):                  # non-multiples keep the stub
         assert got[i]["decoder"] == "fake"
         assert got[i]["channels"] == 3
+
+
+def test_repetition_signals_hand_case(spark):
+    from pdf_parser_spark.operators.textstats import with_repetition
+
+    rows = [
+        (0, "a b\na b\nc d"),          # 3 lines, 1 dup line
+        (1, "x y x y x y"),            # bigram 'x y' dominates
+        (2, ""),                       # empty: all zeros
+        (3, "unique words only here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_repetition(d).collect()}
+    assert got[0]["dup_line_frac"] == round(1 / 3, 6)
+    # 'a b a b c d': 6 words, 4 distinct -> 2/6
+    assert got[0]["dup_word_frac"] == round(2 / 6, 6)
+    # doc1 bigrams: x y, y x, x y, y x, x y -> top 'x y' = 3/5
+    assert got[1]["top_bigram_frac"] == 0.6
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["dup_word_frac"] == 0.0
+
+
+def test_repetition_matches_duckdb_oracle(spark):
+    """Cell-exact DuckDB oracle for the repetition signals over the
+    sf0.001 documents corpus (pytest-side oracle — the driver registry
+    is capped at 50 entries)."""
+    import duckdb
+
+    from pdf_parser_spark.operators.textstats import with_repetition
+
+    sf = "/root/testdata/sf0.001"
+    got = (with_repetition(
+        spark.read.parquet(f"{sf}/documents.parquet"))
+        .select("doc_id", "dup_line_frac", "dup_word_frac",
+                "top_bigram_frac")
+        .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{sf}/documents.parquet'")
+    want = con.sql(r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                          'g')), ' ') AS w
+  FROM documents),
+b AS (
+  SELECT doc_id, lines, w,
+         CASE WHEN len(w) > 1
+              THEN list_transform(range(0, len(w) - 1),
+                   i -> array_to_string(w[i+1:i+2], ' '))
+              ELSE [] END AS bg
+  FROM t)
+SELECT doc_id,
+  CASE WHEN len(lines) > 0
+       THEN ROUND((len(lines) - len(list_distinct(lines)))::DOUBLE
+                  / len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN len(w) > 0
+       THEN ROUND((len(w) - len(list_distinct(w)))::DOUBLE
+                  / len(w), 6) ELSE 0.0 END AS dup_word_frac,
+  CASE WHEN len(bg) > 0
+       THEN ROUND(list_max(list_transform(list_distinct(bg),
+                  d -> len(list_filter(bg, x -> x = d))))::DOUBLE
+                  / len(bg), 6) ELSE 0.0 END AS top_bigram_frac
+FROM b ORDER BY doc_id
+""").df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in ["dup_line_frac", "dup_word_frac", "top_bigram_frac"]:
+        assert (got[col].values == want[col].values).all(), col
