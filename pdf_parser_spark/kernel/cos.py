@@ -1072,20 +1072,23 @@ class Parser:
             raise ParserError("NoToken", self.start_offset)
         off = tok.offset
         k = tok.kind
-        if k == TK_BOOL:
-            return PdfBoolean(tok.value, off)
+        # dispatch ordered by observed frequency in real documents
+        # (ints and names dominate dict bodies) — same semantics,
+        # fewer comparisons per token on the hot path
         if k == TK_INT:
             return PdfInteger(tok.value, off)
-        if k == TK_REAL:
-            return PdfReal(tok.value, off)
         if k == TK_NAME:
             return PdfName(tok.value, off)
-        if k == TK_NULL:
-            return PdfNull(off)
-        if k in (TK_HEXSTR, TK_STR):
-            return PdfString(tok.value, off)
         if k == TK_IND_REF:
             return PdfIndirectRef(tok.value[0], tok.value[1], off)
+        if k in (TK_HEXSTR, TK_STR):
+            return PdfString(tok.value, off)
+        if k == TK_REAL:
+            return PdfReal(tok.value, off)
+        if k == TK_BOOL:
+            return PdfBoolean(tok.value, off)
+        if k == TK_NULL:
+            return PdfNull(off)
         if k == TK_ARR_START:
             return PdfArray(tuple(self._parse_array_content()), off)
         if k == TK_DICT_START:

@@ -56,6 +56,17 @@ def translate(tx: float, ty: float) -> Matrix:
     return (1.0, 0.0, 0.0, 1.0, tx, ty)
 
 
+def translate_mul(tx: float, ty: float, n: Matrix) -> Matrix:
+    """``mat_mul(translate(tx, ty), n)`` specialized: Td/TD/T*/'/\" all
+    premultiply a pure translation, whose product leaves n's linear
+    part untouched — half the multiplies and no intermediate tuple
+    (this is the hottest matrix op in the interpreter)."""
+    a2, b2, c2, d2, e2, f2 = n
+    return (a2, b2, c2, d2,
+            tx * a2 + ty * c2 + e2,
+            tx * b2 + ty * d2 + f2)
+
+
 # ------------------------------------------------------------------ AGL
 
 # Minimal Adobe Glyph List subset for /Differences decoding: ASCII names
@@ -464,19 +475,19 @@ class ContentInterpreter:
                     font_size = opnum(operands[-1])
                     font = self.fonts.get(fname, FontInfo(name=str(fname)))
                 elif op == "Td" and len(operands) >= 2:
-                    tlm = mat_mul(translate(opnum(operands[-2]),
-                                            opnum(operands[-1])), tlm)
+                    tlm = translate_mul(opnum(operands[-2]),
+                                        opnum(operands[-1]), tlm)
                     tm = tlm
                 elif op == "TD" and len(operands) >= 2:
                     leading = -opnum(operands[-1])
-                    tlm = mat_mul(translate(opnum(operands[-2]),
-                                            opnum(operands[-1])), tlm)
+                    tlm = translate_mul(opnum(operands[-2]),
+                                        opnum(operands[-1]), tlm)
                     tm = tlm
                 elif op == "Tm" and len(operands) >= 6:
                     tlm = tuple(opnum(x) for x in operands[-6:])
                     tm = tlm
                 elif op == "T*":
-                    tlm = mat_mul(translate(0.0, -leading), tlm)
+                    tlm = translate_mul(0.0, -leading, tlm)
                     tm = tlm
                 elif op == "TL" and len(operands) >= 1:
                     leading = opnum(operands[-1])
@@ -485,13 +496,13 @@ class ContentInterpreter:
                     if last[0] in (TK_STR, TK_HEXSTR):
                         emit(last[1])
                 elif op == "'" and operands:
-                    tlm = mat_mul(translate(0.0, -leading), tlm)
+                    tlm = translate_mul(0.0, -leading, tlm)
                     tm = tlm
                     last = operands[-1]
                     if last[0] in (TK_STR, TK_HEXSTR):
                         emit(last[1])
                 elif op == '"' and len(operands) >= 3:
-                    tlm = mat_mul(translate(0.0, -leading), tlm)
+                    tlm = translate_mul(0.0, -leading, tlm)
                     tm = tlm
                     last = operands[-1]
                     if last[0] in (TK_STR, TK_HEXSTR):
