@@ -1,0 +1,87 @@
+"""Corpus-curation operators: benchmark decontamination and
+deterministic source mixing.
+
+Both are standard stages of a large-scale training-data pipeline that
+sit alongside dedup/quality/langid (operators/dedup.py, textstats.py):
+
+- decontamination: drop (or flag) training documents that share long
+  word n-grams with an evaluation/benchmark set, the GPT-3-style
+  "13-gram overlap" protocol (Brown et al. 2020, appendix C; carried
+  forward by The Pile / Llama reports).
+- source mixing: downsample each source/domain to target proportions.
+  ``deterministic_sample`` uses an md5-derived uniform instead of
+  ``DataFrame.sample`` so the result is reproducible run-to-run,
+  independent of partitioning/AQE re-planning, and replicable in a
+  DuckDB oracle cell-for-cell (Bernoulli sampling by hash is the
+  standard trick for resumable pipelines — a rerun keeps exactly the
+  same rows).
+
+Scale shape: the benchmark n-gram set is tiny next to the corpus →
+broadcast join, corpus side stays shuffle-free until the per-doc
+aggregate; sampling is a pure codegen'd filter (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+CONTAMINATION_NGRAM = 5
+
+
+def ngram_contamination(docs: DataFrame, benchmark: DataFrame,
+                        k: int = CONTAMINATION_NGRAM,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Documents sharing at least one word ``k``-gram with the
+    benchmark corpus: ``(id_col, n_overlapping)`` with the count of
+    DISTINCT overlapping k-grams. Join the result back with a
+    left_anti to decontaminate.
+
+    Plan: benchmark k-grams are deduped then BROADCAST (eval sets are
+    MBs next to a 100 TB corpus); the corpus explodes its distinct
+    per-doc k-grams and inner-joins broadcast-side — no corpus
+    shuffle before the per-doc aggregate, which groups on the
+    already-hashed id.
+    """
+    d_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k)).alias("_ng"))
+    b_sh = (benchmark
+            .select(F.explode(shingles(F.col(text_col), k)).alias("_ng"))
+            .distinct())
+    return (d_sh.join(F.broadcast(b_sh), "_ng")
+            .groupBy(id_col)
+            .agg(F.countDistinct("_ng").alias("n_overlapping")))
+
+
+def _hash_uniform(id_col: Column) -> Column:
+    """Deterministic uniform in [0, 1) from an id: first 8 md5 hex
+    chars → 32-bit int / 2^32. Engine-portable (DuckDB reproduces it
+    bit-for-bit), partitioning-independent, stable across reruns."""
+    return (F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8),
+                   16, 10).cast("long") / F.lit(float(1 << 32)))
+
+
+def deterministic_sample(docs: DataFrame,
+                         fractions: dict[str, float],
+                         source_col: str = "source",
+                         id_col: str = "doc_id",
+                         default_fraction: float = 0.0) -> DataFrame:
+    """Stratified Bernoulli sampling by content-independent hash:
+    keep a row iff uniform(md5(id)) < fractions[source]. Unlike
+    ``DataFrame.sampleBy`` the selection is a pure deterministic
+    filter — same rows on every run, every partitioning, every
+    engine — which is what a resumable 100 TB mixing job needs
+    (rerunning a failed wave must re-pick identical rows).
+    """
+    frac = None
+    for src, p in sorted(fractions.items()):
+        branch = F.when(F.col(source_col) == src, F.lit(float(p)))
+        frac = branch if frac is None else frac.when(
+            F.col(source_col) == src, F.lit(float(p)))
+    frac = (frac.otherwise(F.lit(float(default_fraction)))
+            if frac is not None else F.lit(float(default_fraction)))
+    return docs.filter(_hash_uniform(F.col(id_col)) < frac)
