@@ -242,7 +242,12 @@ def pdf_image_flate():
                     b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
                     b"/Filter /FlateDecode", zlib.compress(IMG_RGB_2X2))
     return b.build(), {"text": "img page", "n_pages": 1, "n_spans": 1,
-                       "n_images": 1, "image_data": IMG_RGB_2X2}
+                       "n_images": 1, "image_data": IMG_RGB_2X2,
+                       "images": [{"page": 1, "name": "Im1", "width": 2,
+                                   "height": 2,
+                                   "colorspace": "DeviceRGB",
+                                   "format": "raw-rgb",
+                                   "data": IMG_RGB_2X2}]}
 
 
 # 16x8 DeviceGray, two flat 8x8 blocks (40 | 200): DC-only blocks with
@@ -269,10 +274,14 @@ def pdf_image_dct():
     b.add_stream(6, b"/Subtype /Image /Width 16 /Height 8 "
                     b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
                     b"/Filter /DCTDecode", _dct_jpeg_gray())
+    rgb = bytes(v for p in IMG_GRAY_DCT for v in (p, p, p))
     return b.build(), {"text": "", "n_pages": 1, "n_spans": 0,
                        "n_images": 1, "image_format": "raw-rgb",
-                       "image_data": bytes(
-                           v for p in IMG_GRAY_DCT for v in (p, p, p))}
+                       "image_data": rgb,
+                       "images": [{"page": 1, "name": "Im1", "width": 16,
+                                   "height": 8,
+                                   "colorspace": "DeviceGray",
+                                   "format": "raw-rgb", "data": rgb}]}
 
 
 def _dct_jpeg_gray_progressive() -> bytes:
@@ -293,10 +302,14 @@ def pdf_image_dct_progressive():
     b.add_stream(6, b"/Subtype /Image /Width 16 /Height 8 "
                     b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
                     b"/Filter /DCTDecode", _dct_jpeg_gray_progressive())
+    rgb = bytes(v for p in IMG_GRAY_DCT for v in (p, p, p))
     return b.build(), {"text": "", "n_pages": 1, "n_spans": 0,
                        "n_images": 1, "image_format": "raw-rgb",
-                       "image_data": bytes(
-                           v for p in IMG_GRAY_DCT for v in (p, p, p))}
+                       "image_data": rgb,
+                       "images": [{"page": 1, "name": "Im1", "width": 16,
+                                   "height": 8,
+                                   "colorspace": "DeviceGray",
+                                   "format": "raw-rgb", "data": rgb}]}
 
 
 FAKE_JPEG = b"\xff\xd8\xff\xe0fake-jpeg-payload\xff\xd9"
@@ -319,7 +332,12 @@ def pdf_image_dct_smask():
                     b"/Filter /FlateDecode",
                  zlib.compress(bytes([0, 64, 128, 255])))
     return b.build(), {"text": "", "n_pages": 1, "n_spans": 0,
-                       "n_images": 1, "image_format": "jpeg"}
+                       "n_images": 1, "image_format": "jpeg",
+                       "images": [{"page": 1, "name": "Im1", "width": 2,
+                                   "height": 2,
+                                   "colorspace": "DeviceRGB",
+                                   "format": "jpeg",
+                                   "data": FAKE_JPEG}]}
 
 
 def pdf_xrefstream():

@@ -1529,9 +1529,13 @@ def ex06_jpeg_sink(spark, sf_dir):
     whole public API: PDF::extract_image src/lib.rs:60-72 feeding the
     main.rs:36-42 JPEG re-encode): one row per extracted XObject image
     with its decoded dimensions/colorspace and the sink-encoded format
-    + byte size. Rows-only; decode pixel parity and encode->decode
-    round-trips are asserted in tests/test_extract_pdfs.py and
-    tests/test_jpegdec.py."""
+    + byte size. Oracled since round 3 by a VALUES table built from
+    the fixtures' kernel-independent image metadata: expected
+    jpeg_bytes = len(encode(golden raster)), so a decode that produces
+    ANY wrong pixel (or wrong dims/colorspace/passthrough routing)
+    changes the encoded length/metadata and flips the hash. (The
+    encoder itself is pinned separately by encode->decode round-trip
+    pytests.)"""
     from pdf_parser_spark.operators.extraction import (
         encode_images_jpeg, extract_images,
     )
@@ -1542,6 +1546,43 @@ def ex06_jpeg_sink(spark, sf_dir):
         "conv_id", "turn_idx", "page", "name", "width", "height",
         "colorspace", "format",
         F.octet_length("data").alias("jpeg_bytes"))
+
+
+def _ex06_oracle_sql() -> str:
+    """VALUES oracle from fixture image metadata (golden raster bytes,
+    dims, colorspace — declared by the fixture builders, independent
+    of the extraction kernel). raw-rgb rasters are encoded once per
+    distinct fixture with the same deterministic encoder the sink
+    uses; non-baseline payloads pass through, so expected jpeg_bytes
+    is the embedded stream length."""
+    from pdf_parser_spark.kernel.jpegdec import encode_baseline_jpeg
+    from pdf_parser_spark.sources.turns import _conv_turns
+
+    enc_len_cache: dict[tuple, int] = {}
+
+    def expect_bytes(img: dict) -> int:
+        if img["format"] != "raw-rgb":
+            return len(img["data"])
+        key = (img["width"], img["height"], img["data"])
+        if key not in enc_len_cache:
+            enc_len_cache[key] = len(encode_baseline_jpeg(
+                img["data"], img["width"], img["height"], 3))
+        return enc_len_cache[key]
+
+    rows = []
+    for i in range(EXTRACT_N_CONVS):
+        for conv_id, t, _fid, _pdf, g, _b in _conv_turns(i, 0):
+            for img in g.get("images", ()):
+                rows.append(
+                    f"('{conv_id}', {t}, {img['page']}, "
+                    f"'{img['name']}', {img['width']}, {img['height']}, "
+                    f"'{img['colorspace']}', 'jpeg', "
+                    f"{expect_bytes(img)})")
+    return ("SELECT conv_id, turn_idx, page, name, width, height, "
+            "colorspace, format, jpeg_bytes FROM (VALUES "
+            + ", ".join(rows) +
+            ") AS t(conv_id, turn_idx, page, name, width, height, "
+            "colorspace, format, jpeg_bytes)")
 
 
 # =====================================================================
@@ -1641,6 +1682,7 @@ ORACLES: dict[str, str] = {
     "q25_unpivot_roundtrip": ORACLE_Q25,
     "ex02_golden_match": _ex02_oracle_sql(),
     "ex04_conversation_rollup": _ex04_oracle_sql(),
+    "ex06_jpeg_sink": _ex06_oracle_sql(),
     "ex08_per_turn_golden": _ex08_oracle_sql(),
     "ex09_html_per_turn_golden": _ex09_oracle_sql(),
     "dd01_exact_dedup": ORACLE_DD01,
@@ -1662,9 +1704,8 @@ ORACLES: dict[str, str] = {
     "ann03_ivf_topk": _ann03_oracle_sql(),
     "mm01_decode_meta": _mm01_oracle_sql(),
     "mm02_frame_sample": _mm02_oracle_sql(),
-    # dd03/dd04 (xxhash64 LSH lanes) and ex06 (PDF image kernel +
-    # JPEG codec) are intentionally oracle-free → rows-only checks;
-    # their semantics are pinned by oracled twins (dd07/dd02) and by
-    # pixel-parity/round-trip pytest gates (test_extract_pdfs,
-    # test_jpegdec).
+    # dd03/dd04 (xxhash64 LSH lanes) are the only intentionally
+    # oracle-free entries → rows-only checks; their semantics are
+    # pinned by oracled twins (dd07 cell-exact same pipeline shape,
+    # dd02 exact-jaccard verification semantics).
 }

@@ -314,11 +314,10 @@ def test_registry_consistency():
     # entry (including the extraction parity gates) lands in
     # CORRECTNESS_r{N}.json
     assert len(qs) == 50
-    # the intentionally oracle-free set is exactly the non-SQL ops:
-    # xxhash64 LSH lanes (oracled twins dd07/dd02) and the image
-    # kernel + JPEG codec surface (pixel parity in pytest)
+    # the intentionally oracle-free set is exactly the xxhash64 LSH
+    # lanes (oracled twins dd07/dd02 pin their semantics)
     assert set(qs) - set(oracles) == {
-        "dd03_minhash_lsh", "dd04_simhash", "ex06_jpeg_sink"}
+        "dd03_minhash_lsh", "dd04_simhash"}
 
 
 def test_cheap_queries_run_at_sf0001(spark):
