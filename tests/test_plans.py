@@ -75,3 +75,41 @@ def test_dd03_signature_pipeline_not_duplicated(spark):
     assert plan.count("aggregate(sh#") <= plan.count("Scan parquet") * 1
     # one scan of the documents table, not two
     assert plan.count("documents.parquet") == 1
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """ngram_contamination must BROADCAST the (tiny) benchmark n-gram
+    set — the corpus side must not shuffle before its per-doc
+    aggregate. A sort-merge join here would shuffle the entire
+    exploded 100 TB corpus on n-gram strings."""
+    from pdf_parser_spark.operators.curation import ngram_contamination
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter("doc_id % 7 = 0")
+    plan = _plan(ngram_contamination(docs, bench, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_deterministic_sample_is_pure_filter(spark):
+    """deterministic_sample must plan as a codegen'd filter — no
+    shuffle, no Python, no sample operator (its whole point is a
+    partitioning-independent deterministic selection)."""
+    from pdf_parser_spark.operators.curation import deterministic_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(deterministic_sample(docs, {"src0": 0.5, "src1": 1.0}))
+    assert "Exchange" not in plan
+    assert "Sample" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(" in plan        # whole-stage-codegen'd filter stage
+
+
+def test_repetition_is_pure_projection(spark):
+    """with_repetition must stay a shuffle-free JVM projection."""
+    from pdf_parser_spark.operators.textstats import with_repetition
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(with_repetition(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
