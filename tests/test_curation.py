@@ -113,3 +113,21 @@ WHERE ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT
 ORDER BY doc_id
 """).fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_deterministic_sample_monotone_in_fraction(spark):
+    """Bernoulli-by-hash is monotone: raising a source's fraction only
+    ADDS rows (the kept set at p1 is a subset of the kept set at
+    p2 >= p1) — the property that makes mixing ratios tunable without
+    reshuffling previously selected data."""
+    from pdf_parser_spark.operators.curation import deterministic_sample
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    ids = {}
+    for p in (0.2, 0.5, 0.9):
+        ids[p] = {r["doc_id"] for r in
+                  deterministic_sample(docs, {"src0": p, "src1": p})
+                  .select("doc_id").collect()}
+    assert ids[0.2] <= ids[0.5] <= ids[0.9]
+    assert len(ids[0.2]) < len(ids[0.9])

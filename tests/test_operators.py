@@ -607,3 +607,20 @@ FROM b ORDER BY doc_id
     assert len(got) == len(want) > 0
     for col in ["dup_line_frac", "dup_word_frac", "top_bigram_frac"]:
         assert (got[col].values == want[col].values).all(), col
+
+
+def test_registry_parity_gates_inside_any_prefix_cap():
+    """The round-2 driver snapshot silently truncated the registry at
+    50 entries. Guard the round-3 design: the registry holds exactly
+    50 entries AND every extraction parity gate sits in the first 31,
+    so even a tighter future cap (or a timeout partway through) still
+    records the flagship gates."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    assert len(names) == 50
+    first31 = set(names[:31])
+    for gate in ("ex02_golden_match", "ex04_conversation_rollup",
+                 "ex06_jpeg_sink", "ex08_per_turn_golden",
+                 "ex09_html_per_turn_golden"):
+        assert gate in first31, gate
