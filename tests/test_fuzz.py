@@ -58,3 +58,61 @@ def test_pdf_kernel_never_raises_on_random_bytes(data):
 def test_html_kernel_never_raises_on_random_text(text):
     res = extract_main_text(text)
     assert isinstance(res["text"], str)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_jpeg_decoder_never_aborts_on_fuzz(data):
+    """decode_baseline_jpeg must raise ONLY JpegError on arbitrary
+    bytes (the sink's never-abort contract depends on the structured
+    fallback) — no IndexError/MemoryError/struct.error escapes."""
+    from pdf_parser_spark.kernel.jpegdec import JpegError, decode_baseline_jpeg
+
+    payload = b"\xff\xd8" + data  # SOI + fuzz (else trivially rejected)
+    try:
+        w, h, n, px = decode_baseline_jpeg(payload)
+        assert len(px) == w * h * n
+    except JpegError:
+        pass
+
+
+@given(st.binary(min_size=2, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_decoder_never_aborts_on_mutated_valid(data):
+    """Splice fuzz bytes into the middle of a VALID baseline JPEG —
+    exercises segment/entropy parsing deeper than pure-random input."""
+    from pdf_parser_spark.kernel.jpegdec import (
+        JpegError, decode_baseline_jpeg, encode_baseline_jpeg,
+    )
+
+    base = encode_baseline_jpeg(bytes([40] * 8 + [200] * 8) * 8, 16, 8, 1)
+    cut = len(base) // 2
+    payload = base[:cut] + data + base[cut:]
+    try:
+        decode_baseline_jpeg(payload)
+    except JpegError:
+        pass
+
+
+def test_objstm_many_members_parse_bounded():
+    """A 300-member object stream parses correctly member-by-member
+    (each bounded to its extent by the next distinct offset — the
+    round-3 O(n x stream) lex fix)."""
+    from pdf_parser_spark.kernel.cos import PdfDict, PdfInteger
+    from pdf_parser_spark.kernel.fileparse import parse_object_stream
+
+    n = 300
+    pairs, bodies = [], bytearray()
+    for num in range(1, n + 1):
+        body = b"<</N %d /Tag /T%d>>" % (num, num) \
+            if num % 2 else b"%d" % (num * 7)
+        pairs.append(b"%d %d" % (num, len(bodies)))
+        bodies += body + b"\n"
+    header = b" ".join(pairs) + b"\n"
+    data = header + bytes(bodies)
+    out = parse_object_stream(data, n, len(header))
+    assert len(out) == n
+    assert isinstance(out[2], PdfInteger) and out[2].value == 14
+    assert isinstance(out[1], PdfDict)
+    assert isinstance(out[299], PdfDict)
+    assert out[299].get("N").value == 299
