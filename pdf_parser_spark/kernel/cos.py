@@ -1146,6 +1146,182 @@ class Parser:
         return obj
 
 
+class _FusedBail(Exception):
+    """Internal: the fused parser met anything outside the common
+    indirect-object success grammar — re-parse via Lexer+Parser for
+    canonical results/errors."""
+
+
+def _fused_parse_indirect(buf: bytes, pos: int) -> Object:
+    """Single-pass shift-reduce parse of ``<int> <int> obj … endobj``
+    (or ``… stream``) starting at ``buf[pos]`` — the master-regex scan
+    drives object construction directly, with no Token list and no
+    second pass. ONLY success paths are handled: any deviation
+    (errors, bare objects, nesting oddities, string escapes' failure
+    modes) raises ``_FusedBail`` and the caller re-runs the canonical
+    tokenize+parse, so observable behavior — values, offsets, error
+    kinds — is identical by construction. Equality on success paths is
+    pinned by the fixture differential test and a hypothesis
+    fused-vs-Parser check."""
+    n = len(buf)
+    master = _OM_RE.match
+    i = pos
+    wrapper = None            # (obj_num, gen_num, obj_offset)
+    content: Object | None = None
+    pend: list = []           # up to 2 uncommitted (int, offset)
+    stack: list = []          # ['a', items, off] | ['d', pairs, off, key]
+
+    def place(o) -> None:
+        nonlocal content
+        if stack:
+            f = stack[-1]
+            if f[0] == "a":
+                f[1].append(o)
+            else:
+                if f[3] is None:
+                    raise _FusedBail   # dict key must be a name
+                f[1].append((f[3], o))
+                f[3] = None
+        else:
+            if wrapper is None or content is not None:
+                raise _FusedBail
+            content = o
+
+    def flush() -> None:
+        while pend:
+            v, off = pend.pop(0)
+            place(PdfInteger(v, off))
+
+    while i < n:
+        m = master(buf, i)
+        g = m.lastindex
+        if g is None:
+            e = m.end()
+            if e > i:                 # whitespace / comment
+                i = e
+                continue
+            if buf[i] == 0x28:        # string with escapes / nesting
+                head = i
+                try:
+                    val, i = _scan_literal_string(buf, i, n)
+                except _FallbackErr:
+                    raise _FusedBail from None
+                flush()
+                place(PdfString(val, head))
+                continue
+            raise _FusedBail          # lexer fallback/error territory
+        head = m.start(g)
+        i = m.end()
+        if g == 1:                    # number
+            s = m.group(1)
+            try:
+                v = int(s)
+            except ValueError:
+                try:
+                    flush()
+                    place(PdfReal(float(s), head))
+                    continue
+                except ValueError:
+                    raise _FusedBail from None
+            if len(pend) == 2:
+                v0, o0 = pend.pop(0)
+                place(PdfInteger(v0, o0))
+            pend.append((v, head))
+        elif g == 2:                  # name
+            try:
+                name = parse_name(m.group(2)[1:])
+            except ValueError:
+                raise _FusedBail from None
+            flush()
+            f = stack[-1] if stack else None
+            if f is not None and f[0] == "d" and f[3] is None:
+                f[3] = name           # dict key position
+            else:
+                place(PdfName(name, head))
+        elif g == 8:                  # simple literal string
+            flush()
+            place(PdfString(m.group(8)[1:-1], head))
+        elif g == 5:                  # hex string
+            try:
+                val = parse_hex_string(m.group(5)[1:-1])
+            except ValueError:
+                raise _FusedBail from None
+            flush()
+            place(PdfString(val, head))
+        elif g == 3:                  # <<
+            flush()
+            stack.append(["d", [], head, None])
+        elif g == 4:                  # >>
+            flush()
+            if not stack or stack[-1][0] != "d" or stack[-1][3] is not None:
+                raise _FusedBail
+            _k, pairs, off, _ = stack.pop()
+            place(PdfDict(_dedup_dict_pairs(pairs), off))
+        elif g == 6:                  # [
+            flush()
+            stack.append(["a", [], head])
+        elif g == 7:                  # ]
+            flush()
+            if not stack or stack[-1][0] != "a":
+                raise _FusedBail
+            _k, items, off = stack.pop()
+            place(PdfArray(tuple(items), off))
+        elif g == 9:                  # R
+            if len(pend) != 2 or pend[0][0] <= 0 or pend[1][0] < 0:
+                raise _FusedBail
+            (ov, ooff), (gv, _goff) = pend
+            pend.clear()
+            place(PdfIndirectRef(ov, gv, ooff))
+        elif g == 10:                 # obj
+            if (wrapper is not None or stack or content is not None
+                    or len(pend) != 2
+                    or pend[0][0] <= 0 or pend[1][0] < 0):
+                raise _FusedBail
+            (ov, ooff), (gv, _goff) = pend
+            pend.clear()
+            wrapper = (ov, gv, ooff)
+        elif g == 11:                 # endobj — stop
+            if i < n and buf[i] not in _IRREGULAR:
+                raise _FusedBail
+            flush()
+            if wrapper is None or stack or content is None:
+                raise _FusedBail
+            return PdfIndirectObj(wrapper[0], wrapper[1], content,
+                                  wrapper[2])
+        elif g == 12:                 # stream — stop
+            if n - (head + 5) < 3:
+                raise _FusedBail
+            j = head + 6
+            if buf.startswith(b"\n", j):
+                data_off = j + 1
+            elif buf.startswith(b"\r\n", j):
+                data_off = j + 2
+            else:
+                raise _FusedBail
+            flush()
+            if (wrapper is None or stack
+                    or not isinstance(content, PdfDict)):
+                raise _FusedBail
+            return PdfStreamObj(wrapper[0], wrapper[1], content,
+                                data_off, wrapper[2])
+        elif g == 13:                 # null
+            if i < n and buf[i] not in _IRREGULAR:
+                raise _FusedBail
+            flush()
+            place(PdfNull(head))
+        elif g == 14:                 # true
+            if i < n and buf[i] not in _IRREGULAR:
+                raise _FusedBail
+            flush()
+            place(PdfBoolean(True, head))
+        else:                         # g == 15: false
+            if i < n and buf[i] not in _IRREGULAR:
+                raise _FusedBail
+            flush()
+            place(PdfBoolean(False, head))
+    raise _FusedBail                  # EOF before endobj/stream
+
+
 def parse_object_at(buffer: bytes, offset: int) -> Object:
     """Parse one object starting at ``offset`` of the whole-document
     buffer. The lexer stops at ``endobj``/``stream`` so this is O(object),
@@ -1154,5 +1330,13 @@ def parse_object_at(buffer: bytes, offset: int) -> Object:
     would copy the remaining tail once PER OBJECT: O(n_objects x
     doc_size) bytes on a large PDF). Replaces the reference's adaptive
     200-byte buffer growth (src/object.rs:331-374), unnecessary with
-    the document in memory (SURVEY.md §2.2 J3)."""
-    return Parser(buffer, 0, pos=offset).parse()
+    the document in memory (SURVEY.md §2.2 J3).
+
+    Fast path: the fused single-pass parser handles the common
+    ``N G obj … endobj|stream`` success grammar without materializing
+    a token list; anything unusual bails to the canonical
+    tokenize+parse, so errors and edge semantics are Parser's own."""
+    try:
+        return _fused_parse_indirect(buffer, offset)
+    except _FusedBail:
+        return Parser(buffer, 0, pos=offset).parse()

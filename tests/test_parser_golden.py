@@ -129,3 +129,35 @@ def test_pos_parse_equals_slice_parse():
             assert via_pos == via_slice
             checked += 1
     assert checked > 10
+
+
+def test_fused_parse_covers_fixture_objects():
+    """Every fixture's xref'd object must parse identically through
+    the fused fast path and the canonical Parser — and the fast path
+    must actually engage (no silent always-bail regression)."""
+    from pdf_parser_spark.fixtures import FIXTURES, get_fixture
+    from pdf_parser_spark.kernel.cos import (
+        Parser, _FusedBail, _fused_parse_indirect,
+    )
+    from pdf_parser_spark.kernel.fileparse import XREF_OFFSET, load_xref_chain
+
+    fused = bailed = 0
+    for fid in sorted(FIXTURES):
+        buf, _g = get_fixture(fid)
+        try:
+            xref = load_xref_chain(buf, lambda s: b"")
+        except Exception:
+            continue
+        for _num, (typ, value, _gen) in sorted(xref.entries.items()):
+            if typ != XREF_OFFSET:
+                continue
+            slow = Parser(buf, 0, pos=value).parse()
+            try:
+                fast = _fused_parse_indirect(buf, value)
+            except _FusedBail:
+                bailed += 1
+                continue
+            fused += 1
+            assert fast == slow
+    assert fused > 50
+    assert bailed <= fused * 0.05    # fast path engages ~everywhere

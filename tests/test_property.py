@@ -323,3 +323,46 @@ def test_object_lexer_fast_equals_general_structured(parts):
             return ("err", e.kind, e.offset)
 
     assert run("_tokenize_object") == run("_tokenize_general")
+
+
+@given(objects)
+@settings(max_examples=150, deadline=None)
+def test_fused_indirect_parse_equals_parser(obj):
+    """Round-3 fused object parser: for ``N G obj <obj> endobj`` built
+    from arbitrary object trees, the fused single-pass result must
+    EQUAL the canonical tokenize+parse result (values AND offsets)."""
+    from pdf_parser_spark.kernel.cos import (
+        Parser, _FusedBail, _fused_parse_indirect,
+    )
+
+    src = b"7 0 obj " + serialize(obj) + b" endobj"
+    slow = Parser(src, 0).parse()
+    try:
+        fast = _fused_parse_indirect(src, 0)
+    except _FusedBail:
+        return  # bail path IS the canonical parser — nothing to check
+    assert fast == slow
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=400, deadline=None)
+def test_fused_parse_at_agrees_with_parser_on_noise(data):
+    """parse_object_at (fused + fallback) must agree with the pure
+    Parser on arbitrary bytes: same object or same error kind/offset —
+    the fused path may only ever bail, never diverge."""
+    from pdf_parser_spark.kernel.cos import Parser, ParserError, parse_object_at
+
+    src = b"3 0 obj " + data + b" endobj"
+    try:
+        slow = Parser(src, 0).parse()
+        slow_err = None
+    except ParserError as e:
+        slow, slow_err = None, (e.kind, e.offset)
+    try:
+        fast = parse_object_at(src, 0)
+        fast_err = None
+    except ParserError as e:
+        fast, fast_err = None, (e.kind, e.offset)
+    assert fast_err == slow_err
+    if slow is not None:
+        assert fast == slow
