@@ -79,9 +79,8 @@ def deterministic_sample(docs: DataFrame,
     """
     frac = None
     for src, p in sorted(fractions.items()):
-        branch = F.when(F.col(source_col) == src, F.lit(float(p)))
-        frac = branch if frac is None else frac.when(
-            F.col(source_col) == src, F.lit(float(p)))
+        cond, lit = F.col(source_col) == src, F.lit(float(p))
+        frac = F.when(cond, lit) if frac is None else frac.when(cond, lit)
     frac = (frac.otherwise(F.lit(float(default_fraction)))
             if frac is not None else F.lit(float(default_fraction)))
     return docs.filter(_hash_uniform(F.col(id_col)) < frac)

@@ -113,7 +113,17 @@ def hardware_ceiling(n: int, n4: int, dur: float = 5.0) -> dict:
                  for _ in range(nproc)]
         for p in procs:
             p.start()
-        tots = [q.get() for _ in procs]
+        # Bounded get: if a child dies before reporting (fork failure
+        # under memory pressure), fail loudly instead of hanging the
+        # whole scaling run on an empty queue.
+        try:
+            tots = [q.get(timeout=dur * 10 + 30) for _ in procs]
+        except Exception as e:
+            for p in procs:
+                p.terminate()
+            raise RuntimeError(
+                f"hardware_ceiling: busy-loop child never reported "
+                f"at nproc={nproc} ({e!r})") from e
         for p in procs:
             p.join()
         rates[nproc] = sum(tots) / len(tots) / dur
