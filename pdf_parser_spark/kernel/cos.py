@@ -483,8 +483,11 @@ class Lexer:
                 append(new(Token, (TK_IND_OBJ_END, None, so + head)))
                 self.has_ind_obj_end = True
                 i = data_off
+                # token offset = final EOL byte (data_off - 1), value =
+                # first data byte; pinned against the compiled reference
+                # in tests/test_reference_differential.py
                 append(new(Token, (TK_STREAM_START, so + data_off,
-                                   so + data_off)))
+                                   so + data_off - 1)))
                 self.i, self.token_head_i = i, i
                 return tokens
             elif g == 13:              # null
@@ -850,8 +853,10 @@ class Lexer:
                     append(Token(TK_IND_OBJ_END, None, so + head))
                     self.has_ind_obj_end = True
                     i = data_off
+                    # token offset = final EOL byte (data_off - 1); see
+                    # tests/test_reference_differential.py
                     append(Token(TK_STREAM_START, so + data_off,
-                                 so + data_off))
+                                 so + data_off - 1))
                     self.i, self.token_head_i = i, i
                     return tokens
 
