@@ -55,13 +55,19 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
 
-    from pdf_parser_spark.queries import QUERIES, dd05_embedding_cosine
+    from pdf_parser_spark.queries import (
+        QUERIES, dd03_minhash_lsh, dd04_simhash, dd05_embedding_cosine,
+    )
     from pdf_parser_spark.session import get_spark
 
     # dd05 left the 50-entry driver registry in round 3 (pytest-oracled
-    # twin of dd06) but stays in the bench as the brute-force baseline
+    # twin of dd06) but stays in the bench as the brute-force baseline;
+    # dd03/dd04 (xxhash64 scale paths) left it in round 4 (md5-lane
+    # twins dd07/dd09 hold the oracled slots) and stay benchmarked here
     catalog = dict(QUERIES)
     catalog["dd05_embedding_cosine"] = dd05_embedding_cosine
+    catalog["dd03_minhash_lsh"] = dd03_minhash_lsh
+    catalog["dd04_simhash"] = dd04_simhash
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
 

@@ -541,6 +541,80 @@ def minhash_md5_pairs(docs: DataFrame, text_col: str = "text",
              .select("a", "b", "jaccard"))
 
 
+def simhash_md5_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", bits: int = 32,
+                      bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with md5-derived bits — the
+    cross-engine-verifiable twin of ``simhash``/``simhash_candidates``
+    (the dd07 role for SimHash: dd04's xxhash64 token hashes have no
+    DuckDB analogue, so its driver row is rows-only).
+
+    Token bit i = (hex digit i of md5(token) >= '8'); fingerprint bit
+    i = sign of the per-bit vote sum — a ``bits``-char '0'/'1' string,
+    so neither engine needs 64-bit unsigned arithmetic. Candidate
+    generation is the same Manku-style banding as the fast path
+    (bands=4, max_hamming=3 -> one table per band, pigeonhole recall
+    guarantee) with NO giant-bucket guard, so the blocked result is
+    EXACTLY the quadratic all-pairs join — which is what the DuckDB
+    oracle computes, independently verifying the banding's exactness
+    end-to-end. md5-per-token makes it slower than ``simhash``; it
+    exists to pin dd04's semantics cell-for-cell, not to replace it.
+    """
+    from itertools import combinations
+
+    if not 1 <= max_hamming <= bands - 1:
+        raise ValueError("need 1 <= max_hamming <= bands - 1")
+    if bits % bands != 0 or bits > 32:
+        raise ValueError("bands must divide bits; bits <= 32 (md5 hex)")
+    width = bits // bands
+    combos = list(combinations(range(bands), bands - max_hamming))
+
+    votes = lambda w: F.transform(  # noqa: E731
+        F.slice(F.split(F.md5(w), ""), 1, bits),
+        lambda c: F.when(c >= F.lit("8"), F.lit(1)).otherwise(F.lit(-1)))
+    counters = F.aggregate(
+        F.split(F.trim(_normalize(F.col(text_col))), " "),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, w: F.zip_with(acc, votes(w), lambda a, b: a + b))
+    fingerprint = F.array_join(
+        F.transform(counters, lambda c: F.when(c > 0, F.lit("1"))
+                    .otherwise(F.lit("0"))), "")
+    fp = docs.select(F.col(id_col), fingerprint.alias("f"))
+
+    keys = [F.concat_ws("|", *[F.substring("f", i * width + 1, width)
+                               for i in combo])
+            for combo in combos]
+    tabbed = fp.select(
+        F.col(id_col), F.col("f"),
+        F.posexplode(F.array(*keys)).alias("tbl", "key"))
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                F.col("f").alias("s"))))
+    n = F.size(F.col("ms"))
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.slice(F.col("ms"), i + 2, n),
+            lambda x: F.struct(
+                F.element_at(F.col("ms"), (i + 1).cast("int"))
+                .alias("a"), x.alias("b")))))
+    grouped = (tabbed.groupBy("tbl", "key").agg(members.alias("ms"))
+               .filter(F.size("ms") > 1))
+    expanded = grouped.select(F.explode(pairs).alias("p"))
+    ham = F.aggregate(
+        F.zip_with(F.split(F.col("p.a.s"), ""),
+                   F.split(F.col("p.b.s"), ""),
+                   lambda x, y: F.when(x != y, F.lit(1))
+                   .otherwise(F.lit(0))),
+        F.lit(0), lambda acc, x: acc + x)
+    return (expanded
+            .withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("p.a.i").alias("a"),
+                    F.col("p.b.i").alias("b"), "hamming")
+            .distinct())
+
+
 # ------------------------------------------------- duplicate components
 
 def duplicate_components(pairs: DataFrame, max_iter: int = 20,

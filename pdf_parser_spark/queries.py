@@ -865,6 +865,44 @@ FROM verified WHERE j >= {MINHASH_THRESHOLD}
 """
 
 
+def dd09_simhash_md5(spark, sf_dir):
+    """SimHash with md5-derived bits — dd04's cross-engine-verifiable
+    twin (the dd07 role for SimHash). Spark runs the BANDED Manku
+    pipeline (pigeonhole-exact, no bucket guard); the oracle is the
+    QUADRATIC all-pairs Hamming join — so the driver row verifies the
+    banding's exactness guarantee end-to-end, cell-for-cell. dd04
+    itself (xxhash64 fingerprints, the scale path) stays bench'd and
+    pytest-pinned (test_simhash_banding_equals_exact)."""
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_md5_pairs(d, bits=32, bands=4, max_hamming=3)
+
+
+ORACLE_DD09 = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+                                                 ' ', 'g')), ' ')) AS w
+  FROM documents),
+v AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN substr(md5(w), i::INT, 1) >= '8'
+             THEN 1 ELSE -1 END) AS s
+  FROM tok, range(1, 33) r(i) GROUP BY doc_id, i),
+fp AS (
+  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+                            '' ORDER BY i) AS f
+  FROM v GROUP BY doc_id)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(list_sum(list_transform(range(1, 33), i ->
+            CASE WHEN substr(a.f, i::INT, 1) <> substr(b.f, i::INT, 1)
+            THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE list_sum(list_transform(range(1, 33), i ->
+      CASE WHEN substr(a.f, i::INT, 1) <> substr(b.f, i::INT, 1)
+      THEN 1 ELSE 0 END)) <= 3
+"""
+
+
 SRP_PLANES = 8
 SRP_PROBE_HAMMING = 1
 
@@ -1014,6 +1052,62 @@ SELECT doc_id, lang, n_tokens, quality_score, rank FROM (
            AS rank
   FROM cand)
 WHERE rank <= {CURATION_K}
+"""
+
+
+CONTAM_K = 3
+CU02_FRACTIONS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+CU02_DEFAULT = 0.1
+
+
+def cu01_contamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 n-gram overlap protocol,
+    Brown et al. 2020 app. C): documents sharing word k-grams with a
+    benchmark slice, with the count of distinct overlapping k-grams.
+    Benchmark side is broadcast (eval sets are MBs vs a 100 TB
+    corpus); corpus side stays shuffle-free until the per-doc agg."""
+    from pdf_parser_spark.operators.curation import ngram_contamination
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter("doc_id % 7 = 0")
+    return ngram_contamination(d, bench, k=CONTAM_K)
+
+
+ORACLE_CU01 = r"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(0, len(w) - 2),
+                   i -> array_to_string(w[i+1:i+3], ' ')))
+              ELSE [array_to_string(w, ' ')] END AS ng
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+',
+                                                ' ', 'g')), ' ') AS w
+        FROM documents)),
+b AS (SELECT DISTINCT unnest(ng) AS g FROM sh WHERE doc_id % 7 = 0),
+d AS (SELECT doc_id, unnest(ng) AS g FROM sh)
+SELECT doc_id, COUNT(DISTINCT g) AS n_overlapping
+FROM d JOIN b USING (g) GROUP BY doc_id
+"""
+
+
+def cu02_deterministic_sample(spark, sf_dir):
+    """Deterministic stratified source mixing: keep a row iff
+    uniform(md5(doc_id)) < fraction[source]. A pure codegen filter (no
+    shuffle, no RNG) — rerunning a failed 100 TB mixing wave re-picks
+    exactly the same rows on any partitioning."""
+    from pdf_parser_spark.operators.curation import deterministic_sample
+    d = _t(spark, sf_dir, "documents")
+    return (deterministic_sample(d, CU02_FRACTIONS,
+                                 default_fraction=CU02_DEFAULT)
+            .select("doc_id", "source", "lang"))
+
+
+_CU02_CASE = " ".join(
+    f"WHEN '{s}' THEN {p}" for s, p in sorted(CU02_FRACTIONS.items()))
+ORACLE_CU02 = f"""
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT / 4294967296.0
+      < CASE source {_CU02_CASE} ELSE {CU02_DEFAULT} END
 """
 
 
@@ -1607,7 +1701,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q03_customers_without_orders": q03_customers_without_orders,
     "q04_building_customers_with_orders": q04_building_customers_with_orders,
     "q05_top_orders_per_customer": q05_top_orders_per_customer,
-    "q06_top10_orders": q06_top10_orders,
+    # q06 (global sort+limit) was deregistered in round 4: its
+    # TakeOrdered coverage duplicates q05/cp01, and the slot funds a
+    # driver-visible curation operator. The function stays (bench +
+    # tests exercise it).
+    "cu01_contamination": cu01_contamination,
     "q07_supplier_only_nations": q07_supplier_only_nations,
     "q08_part_brand_stats": q08_part_brand_stats,
     "q09_orders_by_month": q09_orders_by_month,
@@ -1634,8 +1732,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ex09_html_per_turn_golden": ex09_html_per_turn_golden,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard": dd02_ngram_jaccard,
-    "dd03_minhash_lsh": dd03_minhash_lsh,
-    "dd04_simhash": dd04_simhash,
+    # dd03/dd04 (xxhash64 lanes, the scale paths) were deregistered in
+    # round 4: the driver records oracle-free entries as err rows, and
+    # every registry row should be cell-exact checkable. Their
+    # semantics stay driver-visible through the md5-lane twins (dd07
+    # pins dd03's pipeline, dd09 pins dd04's against a quadratic
+    # oracle); the functions themselves stay bench'd + pytest-pinned.
+    "dd09_simhash_md5": dd09_simhash_md5,
+    "cu02_deterministic_sample": cu02_deterministic_sample,
     "dd06_embedding_srp": dd06_embedding_srp,
     "dd07_minhash_md5": dd07_minhash_md5,
     "dd08_dup_components": dd08_dup_components,
@@ -1660,7 +1764,7 @@ ORACLES: dict[str, str] = {
     "q03_customers_without_orders": ORACLE_Q03,
     "q04_building_customers_with_orders": ORACLE_Q04,
     "q05_top_orders_per_customer": ORACLE_Q05,
-    "q06_top10_orders": ORACLE_Q06,
+    "cu01_contamination": ORACLE_CU01,
     "q07_supplier_only_nations": ORACLE_Q07,
     "q08_part_brand_stats": ORACLE_Q08,
     "q09_orders_by_month": ORACLE_Q09,
@@ -1687,6 +1791,8 @@ ORACLES: dict[str, str] = {
     "ex09_html_per_turn_golden": _ex09_oracle_sql(),
     "dd01_exact_dedup": ORACLE_DD01,
     "dd02_ngram_jaccard": ORACLE_DD02,
+    "dd09_simhash_md5": ORACLE_DD09,
+    "cu02_deterministic_sample": ORACLE_CU02,
     "dd06_embedding_srp": _srp_oracle_sql(),
     "dd07_minhash_md5": ORACLE_DD07,
     "dd08_dup_components": ORACLE_DD08,
@@ -1704,8 +1810,7 @@ ORACLES: dict[str, str] = {
     "ann03_ivf_topk": _ann03_oracle_sql(),
     "mm01_decode_meta": _mm01_oracle_sql(),
     "mm02_frame_sample": _mm02_oracle_sql(),
-    # dd03/dd04 (xxhash64 LSH lanes) are the only intentionally
-    # oracle-free entries → rows-only checks; their semantics are
-    # pinned by oracled twins (dd07 cell-exact same pipeline shape,
-    # dd02 exact-jaccard verification semantics).
+    # Since round 4 every registry entry is oracled: dd03/dd04
+    # (xxhash64 LSH lanes, no DuckDB analogue) moved to bench+pytest
+    # with their md5-lane twins dd07/dd09 holding the registry slots.
 }

@@ -132,6 +132,51 @@ def test_simhash_banding_equals_exact(spark):
     assert len(exact) > 0
 
 
+def test_simhash_md5_pairs_equals_quadratic(spark):
+    """dd09's banded md5-lane twin must EQUAL the quadratic all-pairs
+    Hamming join over the same bitstring fingerprints (no bucket
+    guard -> the pigeonhole guarantee is unconditional). The DuckDB
+    oracle (ORACLE_DD09) re-checks the same identity cross-engine in
+    the driver; this pins it Spark-side on a corpus with real
+    duplicate masses."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.dedup import simhash_md5_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = {(r["a"], r["b"], r["hamming"])
+              for r in simhash_md5_pairs(docs).collect()}
+
+    # quadratic reference: same fingerprint expression, all-pairs join
+    from pdf_parser_spark.operators.dedup import _normalize
+    votes = lambda w: F.transform(  # noqa: E731
+        F.slice(F.split(F.md5(w), ""), 1, 32),
+        lambda c: F.when(c >= F.lit("8"), F.lit(1)).otherwise(F.lit(-1)))
+    counters = F.aggregate(
+        F.split(F.trim(_normalize(F.col("text"))), " "),
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, w: F.zip_with(acc, votes(w), lambda a, b: a + b))
+    fp = docs.select(
+        "doc_id",
+        F.array_join(F.transform(counters,
+                                 lambda c: F.when(c > 0, F.lit("1"))
+                                 .otherwise(F.lit("0"))), "").alias("f"))
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.aggregate(
+        F.zip_with(F.split(F.col("a.f"), ""), F.split(F.col("b.f"), ""),
+                   lambda x, y: F.when(x != y, F.lit(1))
+                   .otherwise(F.lit(0))),
+        F.lit(0), lambda acc, x: acc + x).cast("long")
+    exact = {(r["a"], r["b"], r["hamming"]) for r in
+             a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+              .withColumn("hamming", ham)
+              .filter("hamming <= 3")
+              .select(F.col("a.doc_id").alias("a"),
+                      F.col("b.doc_id").alias("b"), "hamming").collect()}
+    assert banded == exact
+    assert len(exact) > 0
+
+
 def test_embedding_cosine_pairs(spark):
     from pdf_parser_spark.operators.dedup import embedding_cosine_pairs
     rows = [
@@ -314,19 +359,22 @@ def test_registry_consistency():
     # entry (including the extraction parity gates) lands in
     # CORRECTNESS_r{N}.json
     assert len(qs) == 50
-    # the intentionally oracle-free set is exactly the xxhash64 LSH
-    # lanes (oracled twins dd07/dd02 pin their semantics)
-    assert set(qs) - set(oracles) == {
-        "dd03_minhash_lsh", "dd04_simhash"}
+    # since round 4 EVERY registry entry is oracled (no driver row may
+    # read err:no_oracle): dd03/dd04's xxhash64 lanes live on in
+    # bench.py + pytest, pinned by their oracled md5-lane twins
+    # dd07/dd09
+    assert set(qs) == set(oracles)
 
 
 def test_cheap_queries_run_at_sf0001(spark):
-    from pdf_parser_spark.queries import QUERIES
+    from pdf_parser_spark.queries import QUERIES, q06_top10_orders
     sf = "/root/testdata/sf0.001"
-    for name in ["q01_pricing_summary", "q06_top10_orders",
+    for name in ["q01_pricing_summary", "cu01_contamination",
                  "dd01_exact_dedup", "tx01_token_counts",
                  "mm02_frame_sample"]:
         assert QUERIES[name](spark, sf).count() > 0, name
+    # q06 left the registry in round 4 but stays a working query
+    assert q06_top10_orders(spark, sf).count() == 10
 
 
 def test_hll_sketch_within_error(spark):
