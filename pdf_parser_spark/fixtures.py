@@ -139,6 +139,30 @@ def pdf_min_text():
     return b.build(), {"text": "Hello", "n_pages": 1, "n_spans": 1}
 
 
+def pdf_seeded_text(seed: int, lines: int = 8, words_per_line: int = 30):
+    """Parameterized distinct-payload fixture (bench.py dedup lever,
+    duplication-factor corpora): same structure as ``pdf_min_text`` but
+    the content text varies with ``seed``, so any number of DISTINCT
+    payloads can be generated deterministically. Default sizing makes
+    the extraction kernel's per-payload cost comparable to a real
+    transcript page (multiple spans, ~1.5 KB of content) rather than a
+    trivial one-span doc."""
+    b = PdfBuilder()
+    _scaffold(b)
+    parts = [b"BT /F1 12 Tf 72 760 Td"]
+    texts = []
+    for ln in range(lines):
+        t = f"L{ln} " + " ".join(
+            f"w{(seed * 31 + ln * 97 + i) % 9973}"
+            for i in range(words_per_line))
+        texts.append(t)
+        parts.append(b" 0 -14 Td " + lit(t) + b" Tj")
+    parts.append(b" ET")
+    b.add_stream(4, b"", b"".join(parts))
+    return b.build(), {"text": "\n".join(texts), "n_pages": 1,
+                       "n_spans": lines}
+
+
 def pdf_flate_text():
     """FlateDecode content stream with INDIRECT /Length
     (ref src/object.rs:545-566 semantics)."""
