@@ -364,6 +364,42 @@ def pdf_image_dct_smask():
                                    "data": FAKE_JPEG}]}
 
 
+# 4x4 DeviceGray inline raster; values avoid the b"EI" byte pair
+IMG_GRAY_INLINE = bytes(range(0, 256, 16))
+
+
+def pdf_image_inline():
+    """Inline images (BI..ID..EI, §8.9.7 [EXTENSION] — the reference
+    ignores them): one raw DeviceGray with abbreviated keys, one
+    FlateDecode DeviceRGB, both in the same content stream as text.
+    Inline rasters flow through the same D1-D6 assembly as XObjects."""
+    b = PdfBuilder()
+    _scaffold(b)
+    flate_rgb = zlib.compress(IMG_RGB_2X2)
+    assert b"EI" not in flate_rgb  # would break the data delimiter
+    content = (b"BT /F1 12 Tf 72 720 Td " + lit("inline img") + b" Tj ET\n"
+               b"q 4 0 0 4 100 600 cm\n"
+               b"BI /W 4 /H 4 /CS /G /BPC 8 ID " + IMG_GRAY_INLINE
+               + b" EI Q\n"
+               b"q 2 0 0 2 200 600 cm\n"
+               b"BI /W 2 /H 2 /CS /RGB /BPC 8 /F /Fl ID " + flate_rgb
+               + b" EI Q")
+    b.add_stream(4, b"", content)
+    gray_rgb = bytes(v for px in IMG_GRAY_INLINE for v in (px, px, px))
+    return b.build(), {"text": "inline img", "n_pages": 1, "n_spans": 1,
+                       "n_images": 2,
+                       "images": [{"page": 1, "name": "BI1", "width": 4,
+                                   "height": 4,
+                                   "colorspace": "DeviceGray",
+                                   "format": "raw-rgb",
+                                   "data": gray_rgb},
+                                  {"page": 1, "name": "BI2", "width": 2,
+                                   "height": 2,
+                                   "colorspace": "DeviceRGB",
+                                   "format": "raw-rgb",
+                                   "data": IMG_RGB_2X2}]}
+
+
 def pdf_xrefstream():
     """XRef stream (/Type/XRef, W=[1 2 1], PNG Up predictor 12) instead
     of a classic table ([EXTENSION] §7.5.8)."""
@@ -571,6 +607,7 @@ FIXTURES = {
     "pdf-image-dct": pdf_image_dct,
     "pdf-image-dct-prog": pdf_image_dct_progressive,
     "pdf-image-dct-smask": pdf_image_dct_smask,
+    "pdf-image-inline": pdf_image_inline,
     "pdf-xrefstream": pdf_xrefstream,
     "pdf-objstm": pdf_objstm,
     "pdf-incremental": pdf_incremental,

@@ -47,6 +47,10 @@ TK_IND_OBJ_START = "ind_obj_start"  # value = (obj_num, gen_num)
 TK_IND_OBJ_END = "ind_obj_end"
 TK_STREAM_START = "stream_start"  # value = absolute offset of stream data
 TK_OP = "op"                      # content-stream operator [EXTENSION]
+TK_INLINE_DATA = "inline_data"    # BI..ID..EI raw data span [EXTENSION]
+                                  # value = (abs_start, abs_end) of the
+                                  # data bytes (single framing ws
+                                  # after ID / before EI excluded)
 
 
 class Token(NamedTuple):
@@ -155,6 +159,20 @@ _NUMBER_CHARS = frozenset(b"0123456789+-.")
 # (src/lexer.rs:292-311, SURVEY.md §2.7.2); we implement the spec.
 _IRREGULAR = frozenset({0, 9, 10, 12, 13, 32}) | frozenset(b"()<>[]{}/%")
 _HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+_WS_ALL = frozenset({0, 9, 10, 12, 13, 32})  # §7.2.2 white-space chars
+
+
+def _inline_span(buf: bytes, after_id: int, ei: int) -> tuple[int, int]:
+    """Data span of a BI..ID..EI inline image (§8.9.7): one framing
+    whitespace byte after ``ID`` and one before ``EI`` are excluded
+    when present; malformed framing degrades to the raw span."""
+    d0 = after_id
+    if d0 < ei and buf[d0] in _WS_ALL:
+        d0 += 1
+    d1 = ei
+    if d1 > d0 and buf[d1 - 1] in _WS_ALL:
+        d1 -= 1
+    return d0, d1
 
 # Precompiled scanners for the hot paths (byte-identical to the
 # byte-at-a-time loops they replace):
@@ -558,7 +576,8 @@ class Lexer:
                             append(new(Token, (TK_NULL, None, so + head)))
                         elif op == "ID":
                             # inline image data until delimited 'EI'
-                            # (PDF 32000-1 §8.9.7)
+                            # (PDF 32000-1 §8.9.7); emit the data span
+                            # so image extraction can decode it
                             k = buf.find(b"EI", i)
                             while k != -1:
                                 before_ws = k == 0 or \
@@ -570,6 +589,10 @@ class Lexer:
                                 k = buf.find(b"EI", k + 1)
                             if k == -1:
                                 raise err("UnterminatedInlineImage")
+                            d0, d1 = _inline_span(buf, i, k)
+                            append(new(Token, (TK_INLINE_DATA,
+                                               (so + d0, so + d1),
+                                               so + head)))
                             i = k + 2
                         else:
                             # keyword followed by regular bytes
@@ -895,7 +918,7 @@ class Lexer:
                 op = buf[start:i].decode("latin-1")
                 if op == "ID":
                     # inline image data follows until 'EI' delimiter;
-                    # skip it entirely (PDF 32000-1 §8.9.7)
+                    # emit the data span (PDF 32000-1 §8.9.7)
                     k = buf.find(b"EI", i)
                     while k != -1:
                         before_ws = k == 0 or buf[k - 1] in _IRREGULAR
@@ -905,6 +928,9 @@ class Lexer:
                         k = buf.find(b"EI", k + 1)
                     if k == -1:
                         raise err("UnterminatedInlineImage")
+                    d0, d1 = _inline_span(buf, i, k)
+                    append(Token(TK_INLINE_DATA, (so + d0, so + d1),
+                                 so + start))
                     i = k + 2
                     head = i
                     continue

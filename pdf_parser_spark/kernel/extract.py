@@ -16,7 +16,7 @@ from __future__ import annotations
 from .cos import LexerError, ParserError, PdfDict
 from .doc import PdfDocument
 from .fileparse import PdfStructureError
-from .images import ImageError, extract_page_images
+from .images import ImageError, extract_inline_images, extract_page_images
 from .textops import ContentInterpreter, build_font, spans_to_text
 
 
@@ -66,7 +66,11 @@ def extract_text(pdf_bytes: bytes, with_images: bool = False,
             interp = ContentInterpreter(fonts, page.page_number)
             all_spans.extend(interp.run(content))
             if with_images:
-                for img in extract_page_images(doc, page):
+                page_imgs = extract_page_images(doc, page)
+                # [EXTENSION] inline BI..ID..EI images, same D1-D6
+                # assembly, appended after the XObject images
+                page_imgs.extend(extract_inline_images(doc, page))
+                for img in page_imgs:
                     result["images"].append({
                         "page": img.page, "name": img.name,
                         "width": img.width, "height": img.height,

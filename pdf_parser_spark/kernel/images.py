@@ -27,7 +27,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from .cos import PdfDict, PdfIndirectRef, PdfInteger, PdfName, PdfStreamObj
+from .cos import (
+    TK_ARR_END, TK_ARR_START, TK_BOOL, TK_INLINE_DATA, TK_INT, TK_NAME,
+    TK_OP, TK_REAL, PdfDict, PdfIndirectRef, PdfInteger, PdfName,
+    PdfStreamObj, tokenize,
+)
 from .fileparse import PdfStructureError
 from .jpegdec import JpegError, decode_baseline_jpeg
 
@@ -130,4 +134,134 @@ def extract_page_images(doc, page) -> list[ExtractedImage]:
                 px = bytes(b for p in px for b in (p, p, p))
             images.append(ExtractedImage(page.page_number, name, w, h, cs,
                                          "raw-rgb", px))
+    return images
+
+
+# ------------------------------------------------ inline images (BI/ID/EI)
+# [EXTENSION] the reference ignores inline images entirely (its content
+# handling never reaches §8.9.7); real-world PDFs carry masks/logos
+# inline, so they flow through the same D1-D6 assembly here.
+
+# §8.9.7 abbreviated dict keys / values
+_INLINE_KEY = {"W": "Width", "H": "Height", "CS": "ColorSpace",
+               "F": "Filter", "BPC": "BitsPerComponent", "D": "Decode",
+               "DP": "DecodeParms", "IM": "ImageMask", "I": "Interpolate",
+               "L": "Length"}
+_INLINE_CS = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+              "I": "Indexed"}
+_INLINE_FILTER = {"AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+                  "LZW": "LZWDecode", "Fl": "FlateDecode",
+                  "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+                  "DCT": "DCTDecode"}
+
+
+def _parse_inline_value(toks, i):
+    """One inline-dict value starting at token i: scalar or flat array.
+    Returns (value, next_i); value is a python scalar or list."""
+    t = toks[i]
+    if t.kind == TK_ARR_START:
+        arr = []
+        i += 1
+        while i < len(toks) and toks[i].kind != TK_ARR_END:
+            arr.append(toks[i].value)
+            i += 1
+        return arr, i + 1
+    if t.kind in (TK_INT, TK_REAL, TK_NAME, TK_BOOL):
+        return t.value, i + 1
+    return None, i + 1
+
+
+def _assemble_inline(params: dict, data: bytes, page_number: int,
+                     name: str) -> ExtractedImage | None:
+    """D1-D6 over an inline image dict; returns None for shapes outside
+    the supported envelope (never aborts the page: text extraction and
+    XObject images must survive any inline payload)."""
+    w, h = params.get("Width"), params.get("Height")
+    if not (isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0):
+        return None
+    if params.get("ImageMask") is True:
+        return None  # stencil masks are not rasters
+    if params.get("BitsPerComponent", 8) != 8:
+        return None
+    cs = params.get("ColorSpace")
+    cs = _INLINE_CS.get(cs, cs)
+    if cs not in ("DeviceRGB", "DeviceGray"):
+        return None
+    filters = params.get("Filter") or []
+    if isinstance(filters, str):
+        filters = [filters]
+    filters = [_INLINE_FILTER.get(f, f) for f in filters]
+
+    from .filters import ascii_hex_decode, flate_decode
+
+    # supported chains: none | [AHx] | [Fl] | [AHx, Fl] | [DCT] |
+    # [AHx, DCT] — the classic inline envelope; anything else skipped
+    try:
+        if filters and filters[0] == "ASCIIHexDecode":
+            data = ascii_hex_decode(data)
+            filters = filters[1:]
+        if filters == ["FlateDecode"]:
+            data = flate_decode(data, None)
+            filters = []
+        if filters == ["DCTDecode"]:
+            jw, jh, ncomp, px = decode_baseline_jpeg(data)
+            if (jw, jh) != (w, h):
+                return None
+            if ncomp == 1:
+                px = bytes(b for p in px for b in (p, p, p))
+            return ExtractedImage(page_number, name, w, h, cs,
+                                  "raw-rgb", px)
+        if filters:
+            return None
+    except (JpegError, ValueError, OSError):
+        return None
+
+    ncomp = 3 if cs == "DeviceRGB" else 1
+    expected = w * h * ncomp
+    if len(data) < expected:
+        return None
+    raw = data[:expected]
+    if cs == "DeviceGray":
+        raw = bytes(b for px_ in raw for b in (px_, px_, px_))
+    return ExtractedImage(page_number, name, w, h, cs, "raw-rgb", raw)
+
+
+def extract_inline_images(doc, page) -> list[ExtractedImage]:
+    """BI..ID..EI images from a page's content streams, through the
+    same param/colorspace/filter/raster path as XObjects. Names are
+    ``BI1``, ``BI2``, ... in content order (XObject names never start
+    with an operator prefix in the fixture corpus; a real collision
+    would only affect display names, not parity)."""
+    content = doc.page_content_bytes(page)
+    if b"BI" not in content:
+        return []
+    try:
+        toks = tokenize(content, 0, content_mode=True)
+    except Exception:
+        return []  # malformed content already surfaces via text path
+    images: list[ExtractedImage] = []
+    n_inline = 0
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t.kind == TK_OP and t.value == "BI":
+            params: dict = {}
+            i += 1
+            while i < n and toks[i].kind != TK_INLINE_DATA:
+                if toks[i].kind == TK_NAME:
+                    key = toks[i].value
+                    val, i = _parse_inline_value(toks, i + 1)
+                    params[_INLINE_KEY.get(key, key)] = val
+                else:
+                    i += 1
+            if i >= n:
+                break
+            d0, d1 = toks[i].value
+            n_inline += 1
+            img = _assemble_inline(params, content[d0:d1],
+                                   page.page_number, f"BI{n_inline}")
+            if img is not None:
+                images.append(img)
+        i += 1
     return images

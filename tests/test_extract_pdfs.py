@@ -45,6 +45,50 @@ def test_image_flate_parity():
     assert img["data"] == IMG_RGB_2X2
 
 
+def test_inline_images_through_d1_d6():
+    """BI..ID..EI inline images ([EXTENSION] §8.9.7): abbreviated keys
+    (/W /H /CS /G /RGB /BPC /F /Fl) normalize, raw and Flate payloads
+    decode through the same raster assembly as XObjects (Gray->RGB
+    expansion included), names BI1/BI2 in content order, and the text
+    on the same page still extracts."""
+    from pdf_parser_spark.fixtures import pdf_image_inline
+
+    pdf, golden = get_fixture("pdf-image-inline")
+    res = extract_text(pdf, with_images=True)
+    assert res["parse_error"] is None
+    assert res["text"] == "inline img"
+    assert len(res["images"]) == 2
+    for got, want in zip(res["images"], golden["images"]):
+        for k in ("page", "name", "width", "height", "colorspace",
+                  "format", "data"):
+            assert got[k] == want[k], (want["name"], k)
+
+
+def test_inline_image_unsupported_shapes_skipped():
+    """Out-of-envelope inline images (1-bit mask, CMYK, unknown
+    filter) are skipped without aborting text or sibling images."""
+    from pdf_parser_spark.fixtures import (
+        IMG_RGB_2X2, PdfBuilder, _scaffold, lit,
+    )
+    import zlib
+
+    b = PdfBuilder()
+    _scaffold(b)
+    content = (b"BT /F1 12 Tf 72 720 Td " + lit("still here") + b" Tj ET\n"
+               b"BI /W 8 /H 8 /IM true /BPC 1 ID " + bytes(8) + b" EI\n"
+               b"BI /W 1 /H 1 /CS /CMYK /BPC 8 ID " + bytes(4) + b" EI\n"
+               b"BI /W 1 /H 1 /CS /G /BPC 8 /F /CCF ID " + bytes(4) + b" EI\n"
+               b"BI /W 2 /H 2 /CS /RGB /BPC 8 /F /Fl ID "
+               + zlib.compress(IMG_RGB_2X2) + b" EI")
+    b.add_stream(4, b"", content)
+    res = extract_text(b.build(), with_images=True)
+    assert res["parse_error"] is None
+    assert res["text"] == "still here"
+    assert len(res["images"]) == 1
+    img = res["images"][0]
+    assert img["name"] == "BI4" and img["data"] == IMG_RGB_2X2
+
+
 def test_image_smask_anti_join():
     """The /SMask pair is excluded; only the main DCT image survives
     (ref src/page.rs:51-74)."""
@@ -186,6 +230,7 @@ N_OBJECTS_GOLDEN = {
     "pdf-image-dct-prog": 4,
     "pdf-image-dct-smask": 4,
     "pdf-image-flate": 5,
+    "pdf-image-inline": 5,
     "pdf-incremental": 5,
     "pdf-large": 43,
     "pdf-lzw-text": 5,
