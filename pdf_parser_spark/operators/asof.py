@@ -45,9 +45,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     Duplicate (key, right_ts) rows: both paths break the tie with the
     SAME deterministic rule — the right row whose payload struct has
     the greatest xxhash64 wins — so sliced and unsliced agree even on
-    non-pre-aggregated right sides. (Payload-identical duplicates are
-    indistinguishable anyway; distinct payloads colliding in xxhash64
-    is the only residual nondeterminism, at 2^-64 odds.) Standard
+    non-pre-aggregated right sides. NOTE for callers: WHICH payload
+    survives a true (key, ts) tie is therefore arbitrary (hash order,
+    not data order) — merely stable across runs, partitionings and both
+    code paths. (Payload-identical duplicates are indistinguishable
+    anyway; distinct payloads colliding in xxhash64 is the only
+    residual nondeterminism, at 2^-64 odds.) Standard
     practice is still to pre-aggregate the right side to one row per
     (key, ts) — see q19/q21 in queries.py."""
     left_cols = left.columns

@@ -285,6 +285,54 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return counted.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def _simhash_tabbed(sim: DataFrame, id_col: str, bands: int,
+                    max_hamming: int) -> DataFrame:
+    """(id, simhash, tbl, key) rows of the Manku permuted band tables —
+    shared by candidate generation and the oversized-bucket accounting
+    so both see EXACTLY the same keys."""
+    from itertools import combinations
+
+    if not 1 <= max_hamming <= bands - 1:
+        raise ValueError("need 1 <= max_hamming <= bands - 1 "
+                         "(recall guarantee is pigeonhole over bands)")
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    t = bands - max_hamming
+    combos = list(combinations(range(bands), t))
+    if len(combos) > 64:
+        raise ValueError(
+            f"C({bands},{t})={len(combos)} tables — raise bands only "
+            "with a smaller max_hamming (row inflation = table count)")
+
+    def band_val(i: int) -> Column:
+        return (F.shiftrightunsigned("simhash", i * width)
+                .bitwiseAND(F.lit((1 << width) - 1) if width < 64
+                            else F.lit(-1).cast("long")))
+
+    keys = [F.xxhash64(F.lit(ci), *[band_val(i) for i in combo])
+            for ci, combo in enumerate(combos)]
+    return sim.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*keys)).alias("tbl", "key"))
+
+
+def simhash_oversized_buckets(sim: DataFrame, id_col: str = "doc_id",
+                              bands: int = 4, max_hamming: int = 3,
+                              max_bucket: int = MAX_BUCKET_DEFAULT
+                              ) -> DataFrame:
+    """Accounting face of ``simhash_candidates``' giant-bucket guard
+    (the ``oversized_buckets`` analogue for the Manku permuted tables):
+    the (tbl, key, n) groups dropped at the same parameters, so dropped
+    fingerprint masses are observable/alertable in production instead
+    of silently weakening the exact-recall guarantee. Cheap slim-row
+    groupBy count — no collect_list."""
+    return (_simhash_tabbed(sim, id_col, bands, max_hamming)
+            .groupBy("tbl", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket))
+
+
 def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
                        bands: int = 4, max_hamming: int = 3,
                        max_bucket: int | None = MAX_BUCKET_DEFAULT
@@ -315,33 +363,11 @@ def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
     ``None`` to disable. NOTE: with the guard on, the
     "identical to the quadratic join" recall guarantee holds for all
     pairs outside dropped buckets — exact-dedup the corpus upstream
-    so identical-text masses never reach fingerprinting.
+    so identical-text masses never reach fingerprinting, and use
+    ``simhash_oversized_buckets`` (same table keys by construction)
+    to observe/alert on whatever the guard drops.
     """
-    from itertools import combinations
-
-    if not 1 <= max_hamming <= bands - 1:
-        raise ValueError("need 1 <= max_hamming <= bands - 1 "
-                         "(recall guarantee is pigeonhole over bands)")
-    if 64 % bands != 0:
-        raise ValueError("bands must divide 64")
-    width = 64 // bands
-    t = bands - max_hamming
-    combos = list(combinations(range(bands), t))
-    if len(combos) > 64:
-        raise ValueError(
-            f"C({bands},{t})={len(combos)} tables — raise bands only "
-            "with a smaller max_hamming (row inflation = table count)")
-
-    def band_val(i: int) -> Column:
-        return (F.shiftrightunsigned("simhash", i * width)
-                .bitwiseAND(F.lit((1 << width) - 1) if width < 64
-                            else F.lit(-1).cast("long")))
-
-    keys = [F.xxhash64(F.lit(ci), *[band_val(i) for i in combo])
-            for ci, combo in enumerate(combos)]
-    tabbed = sim.select(
-        F.col(id_col), F.col("simhash"),
-        F.posexplode(F.array(*keys)).alias("tbl", "key"))
+    tabbed = _simhash_tabbed(sim, id_col, bands, max_hamming)
     # groupBy + in-bucket pair expansion, not a self-join: a self-join
     # evaluates the fingerprint pipeline once PER SIDE (the dd03
     # lesson); here only slim (tbl, key, id, simhash) rows shuffle,
@@ -641,7 +667,11 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20,
     None (default, local/test mode), ``localCheckpoint`` keeps state
     in executor memory: faster, but a lost executor mid-iteration
     fails the job. Hygiene: the caller's previously-configured
-    checkpoint dir is restored on exit, and session.py enables
+    checkpoint dir is restored on exit; if the context had NO dir
+    configured, this function's dir stays set afterwards — Spark
+    offers no way to unset a checkpoint dir (SparkContext
+    .setCheckpointDir only overwrites), so callers who care should
+    set a session-owned scratch dir up front. session.py enables
     ``spark.cleaner.referenceTracking.cleanCheckpoints`` so files of
     superseded rounds are removed once their frames are unreferenced
     (without it, ~max_iter full copies of the labels frame would sit

@@ -531,6 +531,17 @@ def test_simhash_giant_bucket_guard(spark):
     assert simhash_candidates(sim, max_bucket=None).count() == \
         100 * 99 // 2 + 1
 
+    # accounting face: the dropped mass is observable under the SAME
+    # permuted-table keys (defaults: bands=4, max_hamming=3 -> 4
+    # single-band tables, so the 100-doc mass is one bucket per table)
+    from pdf_parser_spark.operators.dedup import simhash_oversized_buckets
+    over = simhash_oversized_buckets(sim, max_bucket=16).collect()
+    assert len(over) == 4
+    assert all(r["n"] == 100 for r in over)
+    assert {r["tbl"] for r in over} == {0, 1, 2, 3}
+    # the healthy hamming-1 pair (bucket size 2) is never reported
+    assert simhash_oversized_buckets(sim, max_bucket=1).count() > 4
+
 
 def test_duplicate_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir engages reliable checkpoint() (fault-tolerant
