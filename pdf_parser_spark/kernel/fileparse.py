@@ -28,7 +28,8 @@ from dataclasses import dataclass, field
 
 from . import rawbytes as rb
 from .cos import (
-    Parser, ParserError, PdfArray, PdfDict, PdfIndirectRef, PdfInteger,
+    LexerError, Parser, ParserError, PdfArray, PdfDict, PdfIndirectRef,
+    PdfInteger,
     PdfName, PdfStreamObj, parse_object_at,
 )
 from .filters import decode_stream
@@ -321,6 +322,14 @@ def parse_object_stream(data: bytes, n: int, first: int) -> dict:
         obj_num = ints[2 * i]
         abs_off = first + ints[2 * i + 1]
         end = next_of.get(abs_off, len(data))
-        obj = Parser(data[abs_off:end], abs_off).parse()
+        try:
+            obj = Parser(data[abs_off:end], abs_off).parse()
+        except (ParserError, LexerError):
+            # Lying offset table: a member's serialization crosses the
+            # next member's declared start (malformed but recoverable).
+            # Retry once from the unbounded tail — restores the
+            # pre-bounding behavior for exactly these streams while the
+            # well-formed path stays O(total bytes).
+            obj = Parser(data[abs_off:], abs_off).parse()
         out[obj_num] = obj
     return out

@@ -116,3 +116,27 @@ def test_objstm_many_members_parse_bounded():
     assert isinstance(out[1], PdfDict)
     assert isinstance(out[299], PdfDict)
     assert out[299].get("N").value == 299
+
+
+def test_objstm_lying_offset_table_retries_unbounded():
+    """A member whose serialization crosses the NEXT member's declared
+    start (lying/overlapping offset table, malformed per §7.5.7) must
+    still parse: the bounded slice raises, and the once-only unbounded
+    retry recovers the full object — pinning the pre-bounding behavior
+    for exactly these streams."""
+    from pdf_parser_spark.kernel.cos import PdfDict, PdfInteger
+    from pdf_parser_spark.kernel.fileparse import parse_object_stream
+
+    # offset table: obj 1 @0, obj 2 @5 — but obj 1's dict is 12 bytes,
+    # so it crosses obj 2's declared start. Bounded slice [0:5] is
+    # b"<</A " -> parse error -> unbounded retry recovers the whole
+    # dict. Obj 2's declared offset lands mid-dict on b"1/B 2>>",
+    # which parses as the integer 1 (the lying table's own story).
+    body = b"<</A 1/B 2>>"
+    header = b"1 0 2 5\n"
+    data = header + body
+    out = parse_object_stream(data, 2, len(header))
+    assert isinstance(out[1], PdfDict)
+    assert out[1].get("A").value == 1
+    assert out[1].get("B").value == 2
+    assert isinstance(out[2], PdfInteger) and out[2].value == 1
