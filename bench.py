@@ -174,53 +174,66 @@ def main() -> None:
         "cpus": cpus,
     }
 
-    # dedup lever: the same kernel over a corpus with a REALISTIC
-    # duplication factor (distinct payloads via pdf_seeded_text; real
-    # transcript corpora are 2-10x duplicated). extract_turns_dedup
-    # pays one digest shuffle + join-back to run the kernel once per
-    # DISTINCT payload — this records the measured win at dup_factor 3.
+    # dedup lever: extract_turns_dedup pays one digest shuffle +
+    # join-back to run the kernel once per DISTINCT payload (real
+    # transcript corpora are 2-10x duplicated). Two corpora expose the
+    # measured CROSSOVER: the lever trades kernel cost per PARSED byte
+    # against shuffle cost per FILE byte, so it pays on realistic
+    # payloads (multi-page Flate docs, ~3.4 MB/s/core kernel) and does
+    # NOT on light single-page toys (~5.5 MB/s/core, where one shuffle
+    # pass costs as much as the saved kernel work at 1-second stage
+    # scale).
     from pdf_parser_spark.operators.extraction import extract_turns_dedup
 
     dup_factor = 5
-    distinct_docs = max(200, n_convs // 2)
-    lever_rows = distinct_docs * dup_factor
 
-    def gen_lever(batches):
-        from pdf_parser_spark.fixtures import pdf_seeded_text
-        cache: dict[int, str] = {}
-        for pdf_in in batches:
-            conv_ids, texts = [], []
-            for r in pdf_in["id"]:
-                r = int(r)
-                pid = r // dup_factor
-                if pid not in cache:
-                    cache[pid] = pdf_seeded_text(pid)[0].decode("latin-1")
-                conv_ids.append(f"lever-{r:08d}")
-                texts.append(cache[pid])
-            yield _pd.DataFrame({"conv_id": conv_ids,
-                                 "turn_idx": 0, "text": texts})
+    def measure_lever(tag: str, fixture: str, distinct_docs: int) -> dict:
+        def gen_lever(batches):
+            import pdf_parser_spark.fixtures as fx
+            gen = getattr(fx, fixture)
+            cache: dict[int, str] = {}
+            for pdf_in in batches:
+                conv_ids, texts = [], []
+                for r in pdf_in["id"]:
+                    r = int(r)
+                    pid = r // dup_factor
+                    if pid not in cache:
+                        cache[pid] = gen(pid)[0].decode("latin-1")
+                    conv_ids.append(f"{tag}-{r:08d}")
+                    texts.append(cache[pid])
+                yield _pd.DataFrame({"conv_id": conv_ids,
+                                     "turn_idx": 0, "text": texts})
 
-    lever_dir = tempfile.mkdtemp(prefix="bench-lever-") + "/turns"
-    (spark.range(lever_rows).repartition(cpus * 2)
-     .mapInPandas(gen_lever, "conv_id string, turn_idx int, text string")
-     .write.mode("overwrite").parquet(lever_dir))
-    lever = spark.read.parquet(lever_dir)
-    force(extract_turns(lever))  # warm-up
-    direct_s, dedup_s = [], []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        force(extract_turns(lever))
-        direct_s.append(round(time.perf_counter() - t0, 3))
-        t0 = time.perf_counter()
-        force(extract_turns_dedup(lever))
-        dedup_s.append(round(time.perf_counter() - t0, 3))
+        lever_rows = distinct_docs * dup_factor
+        lever_dir = tempfile.mkdtemp(prefix=f"bench-lever-{tag}-") + "/turns"
+        (spark.range(lever_rows).repartition(cpus * 2)
+         .mapInPandas(gen_lever, "conv_id string, turn_idx int, text string")
+         .write.mode("overwrite").parquet(lever_dir))
+        lever = spark.read.parquet(lever_dir)
+        force(extract_turns(lever))  # warm-up
+        direct_s, dedup_s = [], []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(extract_turns(lever))
+            direct_s.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            force(extract_turns_dedup(lever))
+            dedup_s.append(round(time.perf_counter() - t0, 3))
+        return {
+            "fixture": fixture,
+            "rows": lever_rows,
+            "distinct_payloads": distinct_docs,
+            "dup_factor": dup_factor,
+            "direct_sec": min(direct_s),
+            "dedup_sec": min(dedup_s),
+            "speedup": round(min(direct_s) / min(dedup_s), 2),
+        }
+
     dedup_lever = {
-        "rows": lever_rows,
-        "distinct_payloads": distinct_docs,
-        "dup_factor": dup_factor,
-        "direct_sec": min(direct_s),
-        "dedup_sec": min(dedup_s),
-        "speedup": round(min(direct_s) / min(dedup_s), 2),
+        "light": measure_lever("ll", "pdf_seeded_text",
+                               max(200, n_convs // 2)),
+        "realistic": measure_lever("lf", "pdf_seeded_flate",
+                                   max(100, n_convs // 5)),
     }
 
     ceiling_after = busyloop_ceiling()

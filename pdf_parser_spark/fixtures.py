@@ -163,6 +163,40 @@ def pdf_seeded_text(seed: int, lines: int = 8, words_per_line: int = 30):
                        "n_spans": lines}
 
 
+def pdf_seeded_flate(seed: int, n_pages: int = 12, n_lines: int = 40):
+    """Distinct-payload fixture at REALISTIC per-byte kernel cost
+    (~3.4 MB/s/core vs ~5.5 for ``pdf_seeded_text``): multi-page,
+    Flate-compressed streams — parsed content is larger than file
+    bytes, like real transcript PDFs (the ``pdf_large`` shape,
+    parameterized by ``seed``). Used by bench.py's dedup-lever stage
+    so the dedup-vs-direct economics are measured where they matter:
+    the lever trades kernel cost per PARSED byte against shuffle cost
+    per FILE byte."""
+    b = PdfBuilder()
+    b.add(1, b"<</Type /Catalog /Pages 2 0 R>>")
+    kids = b" ".join(b"%d 0 R" % (10 + i) for i in range(n_pages))
+    b.add(2, b"<</Type /Pages /Kids [" + kids + b"] /Count "
+             + str(n_pages).encode() + b" /MediaBox [0 0 612 792]"
+             b" /Resources <</Font <</F1 3 0 R>>>>>>")
+    b.add(3, b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")
+    texts = []
+    for i in range(n_pages):
+        ops = [b"BT /F1 10 Tf 72 760 Td"]
+        for j in range(n_lines):
+            line = "p%02d l%02d " % (i, j) + " ".join(
+                f"w{(seed * 131 + i * 97 + j * 17 + k * 7) % 99991}"
+                for k in range(8))
+            ops.append(lit(line) + b" Tj 0 -18 Td")
+            texts.append(line)
+        ops.append(b"ET")
+        b.add_stream(100 + i, b"/Filter /FlateDecode",
+                     zlib.compress(b"\n".join(ops)))
+        b.add(10 + i, b"<</Type /Page /Parent 2 0 R /Contents "
+                      + str(100 + i).encode() + b" 0 R>>")
+    return b.build(), {"text": "\n".join(texts), "n_pages": n_pages,
+                       "n_spans": n_pages * n_lines}
+
+
 def pdf_flate_text():
     """FlateDecode content stream with INDIRECT /Length
     (ref src/object.rs:545-566 semantics)."""

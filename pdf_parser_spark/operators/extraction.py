@@ -249,11 +249,32 @@ def extract_turns_dedup(turns: DataFrame) -> DataFrame:
 
     At 10^12-turn scale duplicated payloads are the norm (retried
     tool calls, forwarded transcripts, boilerplate attachments); the
-    Python kernel is the expensive stage, so paying one digest shuffle
-    + one join to run it once per distinct payload wins whenever the
-    duplication ratio is meaningful. Same output schema and rows as
+    Python kernel is the expensive stage, so paying one digest-hash
+    shuffle + one join to run it once per distinct payload wins
+    whenever per-payload kernel cost × (1 - 1/dup_factor) exceeds
+    ~one shuffle pass over the payload bytes (bench.py's dedup_lever
+    stage measures both sides). Same output schema and rows as
     ``extract_turns`` (equality asserted in
     tests/test_pipeline_e2e.py::test_extract_dedup_equals_direct).
+
+    Shape (scale notes):
+    1. JVM-side ``dropDuplicates`` on the digest — its partial
+       aggregate is the map-side combine, so duplicate payload bytes
+       co-located in an input partition never reach the shuffle (a
+       degenerate corpus-wide duplicate ships once per input
+       partition, not once per row), and all dedup work stays in
+       codegen. (A mapInArrow pre-dedup variant was measured 2x
+       SLOWER end-to-end: every extra Arrow stage ships the full
+       payload bytes JVM->Python->JVM again.)
+    2. explicit-width round-robin repartition of the (small) distinct
+       set before the kernel — AQE sizes post-shuffle partitions by
+       BYTES (64MB advisory), which was measured collapsing the
+       kernel stage to a SINGLE partition on a 64MB distinct set
+       (~1ms/doc of kernel dwarfs ~µs/doc of shuffle, so kernel
+       partitions must be CPU-sized, not byte-sized); a
+       user-specified repartition count is exempt from coalescing;
+    3. equi-join of the slim (conv_id, turn_idx, digest) rows back to
+       the per-digest results (AQE picks broadcast when results fit).
     """
     slim = turns.select("conv_id", "turn_idx", "text")
     # NULL text digests to NULL and NULL keys never equi-join — those
@@ -262,8 +283,15 @@ def extract_turns_dedup(turns: DataFrame) -> DataFrame:
     # into the empty digest is semantics-preserving.
     keyed = slim.withColumn(
         "_digest", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    spark = turns.sparkSession
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = 0
+    n_kernel = max(spark.sparkContext.defaultParallelism * 2, shuffle_n)
     docs = (keyed.select("_digest", "text")
             .dropDuplicates(["_digest"])
+            .repartition(n_kernel)
             .select(F.col("_digest").alias("conv_id"),
                     F.lit(0).cast("int").alias("turn_idx"), "text"))
     ext = (docs.mapInArrow(_extract_batches, schema=EXTRACT_SCHEMA)

@@ -272,3 +272,21 @@ def test_pos_lexer_backtrack_error_offset():
         Lexer(buf[5000:], 5000).tokenize()
     assert ei2.value.kind == ei.value.kind
     assert ei2.value.offset == 5000
+
+
+@pytest.mark.parametrize("seed", [0, 7, 123])
+def test_seeded_flate_fixture_golden(seed):
+    """The bench dedup-lever's realistic corpus generator (multi-page
+    Flate, parameterized by seed) extracts exactly its golden text —
+    the lever measurement is only meaningful if its payloads parse
+    cleanly at realistic per-byte cost."""
+    from pdf_parser_spark.fixtures import pdf_seeded_flate
+
+    pdf, golden = pdf_seeded_flate(seed)
+    res = extract_text(pdf)
+    assert res["parse_error"] is None, res["parse_error"]
+    assert res["text"] == golden["text"]
+    assert res["n_pages"] == golden["n_pages"]
+    assert len(res["spans"]) == golden["n_spans"]
+    # distinct seeds produce distinct payloads (dup-factor accounting)
+    assert pdf != pdf_seeded_flate(seed + 1)[0]

@@ -62,6 +62,26 @@ def test_extraction_projection_is_narrow(spark):
     assert proj is not None, plan
 
 
+def test_dedup_kernel_width_is_explicit(spark):
+    """extract_turns_dedup must pin the kernel stage's partition count
+    with a user-specified repartition: AQE sizes post-shuffle
+    partitions by BYTES (64MB advisory) and was measured collapsing
+    the distinct-documents kernel stage to ONE partition on a 64MB
+    distinct set — serializing the CPU-heavy stage. A user-specified
+    count is exempt from AQE coalescing."""
+    from pdf_parser_spark.operators.extraction import extract_turns_dedup
+    from pdf_parser_spark.sources.turns import synthetic_turns
+
+    df = extract_turns_dedup(synthetic_turns(spark, 3))
+    plan = _plan(df)
+    sc = spark.sparkContext
+    n_kernel = max(sc.defaultParallelism * 2,
+                   int(spark.conf.get("spark.sql.shuffle.partitions")))
+    assert f"RoundRobinPartitioning({n_kernel})" in plan, plan
+    # kernel runs on the distinct set: exactly one extraction boundary
+    assert plan.count("MapInArrow") == 1
+
+
 def test_dd03_signature_pipeline_not_duplicated(spark):
     """The LSH candidate stage must not evaluate the shingle+signature
     pipeline twice (the round-2 groupBy rework): exactly one xxhash64
