@@ -20,10 +20,18 @@ page_tree: flate2, jpeg-decoder, image) can't be compiled in this
 sandbox (no crate registry), so stream *decoding* stays covered by the
 transcribed golden tests only.
 
-Known, documented deviation (SURVEY.md §2.7.1): the reference maps the
-literal-string escape ``\\t`` to 0x0B (src/lexer.rs:135); this kernel
-is spec-correct (0x09).  test_string_tab_escape_deviation pins the
-difference as a measured fact instead of hiding it from the corpus.
+Known, documented deviations pinned as measured facts instead of being
+hidden from the corpus:
+
+  * SURVEY.md §2.7.1 — the reference maps the literal-string escape
+    ``\\t`` to 0x0B (src/lexer.rs:135); this kernel is spec-correct
+    (0x09).  test_string_tab_escape_deviation.
+  * SURVEY.md §2.7.11 — the reference drops a pending octal escape at
+    end of string (src/lexer.rs:108-127 never flushes on loop exit), so
+    ``(\\101)`` decodes to the empty string; this kernel is spec-correct
+    (flushes -> 0x41).  test_string_trailing_octal_deviation.  Found by
+    the seeded fuzzer (test_reference_fuzz.py), which therefore never
+    ends a literal string with an octal escape.
 """
 
 from __future__ import annotations
@@ -309,6 +317,27 @@ def test_string_tab_escape_deviation(ref_harness, tmp_path):
     ref_line = _run(ref_harness, "tokens", snippet, tmp_path)
     assert ref_line == "0 str 610b62"
     assert py_token_lines(snippet) == ["0 str 610962"]
+
+
+def test_string_trailing_octal_deviation(ref_harness, tmp_path):
+    """Pin the second lexer deviation (SURVEY.md §2.7.11).
+
+    The reference's parse_string flushes a pending octal accumulator
+    only when a NEXT byte arrives (src/lexer.rs:108-127); at end of the
+    string buffer the loop exits without flushing, so a trailing octal
+    escape — even a complete 3-digit one — is silently dropped.  This
+    kernel is spec-correct (PDF 32000-1 §7.3.4.2): the escape decodes.
+    Mid-string octals flush identically in both engines (covered by the
+    TOKEN_CORPUS octal case and the fuzzer).
+    """
+    for snippet, ref_hex, py_hex in [
+        (b"(\\101)", "", "41"),          # full 3-digit escape, dropped
+        (b"(\\53\\7)", "2b", "2b07"),    # second escape pending at end
+        (b"(ab\\377)", "6162", "6162ff"),
+    ]:
+        ref_line = _run(ref_harness, "tokens", snippet, tmp_path)
+        assert ref_line == f"0 str {ref_hex}".rstrip(), snippet
+        assert py_token_lines(snippet) == [f"0 str {py_hex}"], snippet
 
 
 @pytest.mark.parametrize("fixture_id", DOC_FIXTURES)
