@@ -22,6 +22,8 @@
 //   ref_harness tokens <file>   one canonical token per line
 //   ref_harness object <file>   canonical parse of buffer as one object
 //   ref_harness doc <file>      trailer + xref entries + objects + page order
+//   ref_harness rawbyte <file> <hex-needle>
+//                               every raw_byte combinator over the buffer
 #![allow(warnings)]
 
 mod raw_byte;
@@ -284,6 +286,33 @@ fn cmd_doc(path: &str) {
     }
 }
 
+// Drive every public raw_byte combinator (src/raw_byte.rs:82-168) over
+// the buffer with one needle; one line per op, payload hex or NONE.
+// The needle arrives hex-encoded so arbitrary bytes survive argv.
+fn cmd_rawbyte(path: &str, needle_hex: &str) {
+    let buf = read_all(path);
+    let needle: Vec<u8> = (0..needle_hex.len())
+        .step_by(2)
+        .map(|i| u8::from_str_radix(&needle_hex[i..i + 2], 16)
+            .expect("hex needle"))
+        .collect();
+    let opt = |name: &str, r: Option<&[u8]>| match r {
+        Some(s) => println!("{} {}", name, hex(s)),
+        None => println!("{} NONE", name),
+    };
+    opt("extract_from", raw_byte::extract_from(&buf, &needle));
+    opt("cut_from", raw_byte::cut_from(&buf, &needle));
+    opt("extract_after", raw_byte::extract_after(&buf, &needle));
+    opt("cut_after", raw_byte::cut_after(&buf, &needle));
+    opt("extract_tail_from", raw_byte::extract_tail_from(&buf, &needle));
+    opt("cut_tail_from", raw_byte::cut_tail_from(&buf, &needle));
+    opt("extract_tail_after", raw_byte::extract_tail_after(&buf, &needle));
+    opt("cut_tail_after", raw_byte::cut_tail_after(&buf, &needle));
+    opt("extract_after_eol", raw_byte::extract_after_eol(&buf));
+    opt("cut_after_eol", raw_byte::cut_after_eol(&buf));
+    opt("extract_from_eol", raw_byte::extract_from_eol(&buf));
+}
+
 fn main() {
     // Route panic messages to stderr (expected free-entry panics are
     // caught by catch_unwind; anything uncaught still aborts loudly).
@@ -293,8 +322,8 @@ fn main() {
         }
     }));
     let args: Vec<String> = std::env::args().collect();
-    if args.len() != 3 {
-        eprintln!("usage: ref_harness <tokens|object|doc> <file>");
+    if args.len() < 3 {
+        eprintln!("usage: ref_harness <tokens|object|doc|rawbyte> <file> [hex-needle]");
         std::process::exit(2);
     }
     // Re-install default-ish behavior only for the command dispatch.
@@ -302,6 +331,13 @@ fn main() {
         "tokens" => cmd_tokens(&args[2]),
         "object" => cmd_object(&args[2]),
         "doc" => cmd_doc(&args[2]),
+        "rawbyte" => {
+            if args.len() != 4 {
+                eprintln!("rawbyte needs <file> <hex-needle>");
+                std::process::exit(2);
+            }
+            cmd_rawbyte(&args[2], &args[3]);
+        }
         other => {
             eprintln!("unknown command {}", other);
             std::process::exit(2);

@@ -87,11 +87,12 @@ def ref_harness(tmp_path_factory):
     return str(binary)
 
 
-def _run(binary: str, cmd: str, payload: bytes, tmp_path) -> str:
+def _run(binary: str, cmd: str, payload: bytes, tmp_path,
+         extra: str | None = None) -> str:
     p = tmp_path / "input.bin"
     p.write_bytes(payload)
-    r = subprocess.run([binary, cmd, str(p)], capture_output=True,
-                       text=True, timeout=60)
+    argv = [binary, cmd, str(p)] + ([extra] if extra is not None else [])
+    r = subprocess.run(argv, capture_output=True, text=True, timeout=60)
     assert r.returncode == 0, f"harness {cmd} rc={r.returncode}: {r.stderr}"
     return r.stdout.strip()
 

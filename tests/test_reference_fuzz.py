@@ -8,13 +8,16 @@ envelope: no ``\\t`` escape, no string-final octal escape — both are
 pinned deviations in test_reference_differential — no extension syntax,
 no whitespace in hex strings, i64-range integers, non-exponent reals).
 
-Three layers:
+Four layers:
   * random COS objects (nested arrays/dicts/strings/names/refs with
     random interleaved whitespace + comments) — token & object parity
   * random indirect objects / stream objects — object parity
   * random whole documents (random page-tree nesting, shuffled object
     numbering, random page payloads) — trailer/xref/object-walk/page-
     order parity via the ``doc`` harness command
+  * random (buffer, needle) pairs — all 11 raw_byte slice/EOL
+    combinators via the ``rawbyte`` harness command, inside the
+    envelope where the reference's naive search is exact (see below)
 
 A failure here means the two engines disagree on bytes neither test
 author hand-picked — exactly the class of shared-misreading bug the
@@ -280,3 +283,79 @@ def test_fuzz_doc_parity(ref_harness, tmp_path, seed):
     got_ref = _run(ref_harness, "doc", buf, tmp_path)
     assert "ERROR" not in got_ref.splitlines()[0], got_ref
     assert py_doc_dump(buf) == got_ref
+
+
+# ------------------------------------------------- raw_byte combinators
+
+# Envelope that makes the reference's naive restart-on-mismatch search
+# (src/raw_byte.rs:7-48, quirk 3: `ab` in `aab` missed at 1) equivalent
+# to correct search, so find/rfind-backed kernel output must agree:
+# needles use DISTINCT chars from an alphabet disjoint from the filler,
+# and occurrences are spliced in whole.  Then needle[0] appears only at
+# true match starts, no partial match ever mismatches mid-needle, and
+# both scan directions degrade to the correct result.
+_NEEDLE_ALPHA = b"ABCDEFGH"
+_FILLER_ALPHA = b"wxyz 0123.,;"          # disjoint from _NEEDLE_ALPHA
+
+
+def _gen_rawbyte_case(rng: random.Random) -> tuple[bytes, bytes]:
+    if rng.random() < 0.06:
+        needle = b""                     # empty-target edge semantics
+    else:
+        k = rng.randint(1, 4)
+        needle = bytes(rng.sample(list(_NEEDLE_ALPHA), k))
+    chunks = []
+    for _ in range(rng.randint(0, 6)):
+        m = rng.randint(0, 10)
+        piece = bytes(rng.choice(_FILLER_ALPHA) for _ in range(m))
+        if rng.random() < 0.35:
+            piece += rng.choice([b"\n", b"\r", b"\r\n", b"\r\r\n"])
+        chunks.append(piece)
+    # occurrences go BETWEEN chunks, never inside one: splicing into an
+    # earlier occurrence would split it into needle-char fragments that
+    # re-enable the naive search's partial-match miss
+    if needle:
+        for _ in range(rng.randint(0, 3)):
+            chunks.insert(rng.randint(0, len(chunks)), needle)
+    return b"".join(chunks), needle
+
+
+def py_rawbyte_lines(buf: bytes, needle: bytes) -> list[str]:
+    from pdf_parser_spark.kernel import rawbytes as rb
+
+    def fmt(name, r):
+        return f"{name} NONE" if r is None else f"{name} {r.hex()}"
+
+    lines = [
+        fmt("extract_from", rb.extract_from(buf, needle)),
+        fmt("cut_from", rb.cut_from(buf, needle)),
+        fmt("extract_after", rb.extract_after(buf, needle)),
+        fmt("cut_after", rb.cut_after(buf, needle)),
+        fmt("extract_tail_from", rb.extract_tail_from(buf, needle)),
+        fmt("cut_tail_from", rb.cut_tail_from(buf, needle)),
+        fmt("extract_tail_after", rb.extract_tail_after(buf, needle)),
+        fmt("cut_tail_after", rb.cut_tail_after(buf, needle)),
+        fmt("extract_after_eol", rb.extract_after_eol(buf)),
+        fmt("cut_after_eol", rb.cut_after_eol(buf)),
+    ]
+    # extract_from_eol (src/raw_byte.rs:98-104) has no kernel caller;
+    # mirror it from first_eol_index for harness parity
+    hit = rb.first_eol_index(buf)
+    lines.append(fmt("extract_from_eol",
+                     None if hit is None else buf[hit[0]:]))
+    return lines
+
+
+N_RB_SEEDS = 120
+
+
+@pytest.mark.parametrize("seed", range(N_RB_SEEDS),
+                         ids=[f"r{i:03d}" for i in range(N_RB_SEEDS)])
+def test_fuzz_rawbyte_parity(ref_harness, tmp_path, seed):
+    rng = random.Random(0x4AB17E + seed)
+    buf, needle = _gen_rawbyte_case(rng)
+    got_ref = _run(ref_harness, "rawbyte", buf, tmp_path,
+                   extra=needle.hex())
+    ref_lines = [ln.rstrip() for ln in got_ref.splitlines()]
+    py_lines = [ln.rstrip() for ln in py_rawbyte_lines(buf, needle)]
+    assert py_lines == ref_lines, (buf, needle)
