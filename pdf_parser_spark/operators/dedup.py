@@ -743,3 +743,80 @@ def _propagate_components(pairs: DataFrame, max_iter: int,
         prev_sum = cur_sum
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+# ------------------------------------------------------ line-level dedup
+
+def common_lines(docs: DataFrame, min_docs: int = 2,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Lines (``\\n``-separated) that occur in at least ``min_docs``
+    DISTINCT documents: ``(line, n_docs)``. This is the boilerplate
+    census behind MassiveText's "repeated-line" filter (Rae et al.
+    2021, table A1) and RefinedWeb's line-wise dedup (Penedo et al.
+    2023 §3.3): nav chrome, cookie banners, and license footers show
+    up as identical lines across many pages.
+
+    Plan: posexplode -> groupBy(line) with map-side partial
+    countDistinct. One shuffle on the line text — near-uniform keys
+    (boilerplate lines are the hot keys, but their *groups* reduce to
+    a count, so skew only taxes the combiner, not a join buffer).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"))
+    return (lines.groupBy("_line")
+            .agg(F.countDistinct(id_col).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select(F.col("_line").alias("line"), "n_docs"))
+
+
+def line_dedup(docs: DataFrame, min_docs: int = 2,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Strip every line that occurs in ``min_docs``+ distinct
+    documents, preserving the relative order of surviving lines:
+    ``(id_col, text_clean, n_lines, n_removed)``. Documents whose
+    lines are ALL boilerplate survive with ``text_clean = ''`` (the
+    caller decides whether to drop empties — the row count must stay
+    stable for lineage accounting).
+
+    Plan: the exploded lines are shuffled twice — once aggregated
+    into the census, once against it for the left_anti join (the two
+    exchange subtrees differ, so they are not reusable; AQE instead
+    broadcasts the census side when it is small, the common case
+    since it holds only above-threshold boilerplate lines) — then one
+    groupBy(id) reassembles in posexplode order via array_sort on
+    (pos, line) structs. No Python, no driver state;
+    the reassembly group is one document's lines, so memory per key
+    is bounded by document size exactly like the extraction kernel's
+    per-row bound.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_pos", "_line"))
+    census = (lines.groupBy("_line")
+              .agg(F.countDistinct(id_col).alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("_line"))
+    kept = lines.join(census, "_line", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("_pos", "_line"))),
+                            lambda s: s["_line"]),
+                        "\n").alias("text_clean"),
+                    F.count(F.lit(1)).alias("_kept")))
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"))
+    return (base.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("text_clean"), F.lit(""))
+                    .alias("text_clean"),
+                    F.col("n_lines"),
+                    (F.col("n_lines") - F.coalesce(F.col("_kept"),
+                                                   F.lit(0)))
+                    .alias("n_removed")))
