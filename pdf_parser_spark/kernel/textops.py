@@ -20,6 +20,7 @@ string/hex/number/name semantics, bare keywords become operators.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
@@ -303,6 +304,33 @@ _TEXT_OPS = frozenset({"q", "Q", "cm", "BT", "ET", "Tf", "Td", "TD",
                        "Tm", "T*", "TL", "Tj", "'", '"', "TJ"})
 _EMPTY_FONT = FontInfo(name="")
 
+# Peephole "superinstruction" scanner: text-heavy content is almost
+# entirely runs of `tx ty Td` and `(string) Tj` (measured ~98% of ops
+# on the fixture corpus), so one regex match consumes a complete
+# operands+operator sequence instead of one master-regex match per
+# token. STRICTLY narrower than the master scanner: numbers must be
+# float()-parseable (so the int/float fallback ladder can't diverge),
+# the string must be the escape-free simple form (master group 8), the
+# operator must end at a delimiter (same regular-run rule as master
+# group 9), and inter-token skips reuse the master's exact
+# whitespace/EOL/comment element. Anything else falls back to the
+# per-token path byte-identically — a peephole miss costs one failed
+# match only at op boundaries (`boundary` flag in run()); a peephole
+# hit cannot change semantics because it appends-then-consumes exactly
+# the operands the dispatch ladder would have used and clears the
+# operand buffer exactly like the ladder's finally-clause.
+# Differentially pinned by test_property.py's fused-vs-token-loop
+# oracle (peep-adversarial shapes included in the sampled alphabet).
+_PEEP_WS = rb"(?:[\x00\t\x0c ]|\r\n?|\n|%[^\r\n]*)"
+_PEEP_NUM = rb"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)"
+_PEEP_RE = re.compile(
+    _PEEP_WS + rb"*"
+    rb"(?:(" + _PEEP_NUM + rb")" + _PEEP_WS + rb"+"
+    rb"(" + _PEEP_NUM + rb")" + _PEEP_WS + rb"+Td"
+    rb"|\(([^()\\]*)\)" + _PEEP_WS + rb"*Tj"
+    rb")(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
+
 
 class ContentInterpreter:
     """Execute one page's content stream, emitting TextSpans."""
@@ -352,8 +380,10 @@ class ContentInterpreter:
         n = len(buf)
         i = 0
         master = _CM_RE.match
+        peep = _PEEP_RE.match
         operands_append = operands.append
         operands_clear = operands.clear
+        spans_append = self.spans.append
         relevant = _TEXT_OPS
         # op-run memo: bytes -> decoded op if relevant, False if
         # irrelevant (one dict probe then clear), None if it needs the
@@ -363,7 +393,38 @@ class ContentInterpreter:
         def lex_err(kind: str, off: int) -> LexerError:
             return LexerError(kind, off)
 
+        # peephole attempts only at op boundaries (start of stream or
+        # just after an operator was dispatched) — mid-operand-run
+        # attempts would fail anyway, this just skips their cost. A
+        # hit is position-safe regardless: the superinstruction's own
+        # operands are the last 1-2 appended, which is exactly what
+        # the ladder consumes, and the buffer is cleared either way.
+        boundary = True
         while i < n:
+            if boundary:
+                pm = peep(buf, i)
+                if pm is not None:
+                    i = pm.end()
+                    if pm.lastindex == 3:      # (string) Tj
+                        f = font if font is not None else _EMPTY_FONT
+                        text = f.decode(pm.group(3))
+                        if text:
+                            e1, f1 = tm[4], tm[5]
+                            spans_append(TextSpan(
+                                self.page,
+                                e1 * ctm[0] + f1 * ctm[2] + ctm[4],
+                                e1 * ctm[1] + f1 * ctm[3] + ctm[5],
+                                f.name, text))
+                    else:                      # tx ty Td
+                        tx = float(pm.group(1))
+                        ty = float(pm.group(2))
+                        a2, b2, c2, d2, e2, f2 = tlm
+                        tm = tlm = (a2, b2, c2, d2,
+                                    tx * a2 + ty * c2 + e2,
+                                    tx * b2 + ty * d2 + f2)
+                    if operands:
+                        operands_clear()
+                    continue
             m = master(buf, i)
             g = m.lastindex
             if g is None:
@@ -383,6 +444,7 @@ class ContentInterpreter:
                 raise lex_err(kind, start)
             i = m.end()
             if g != 9:                 # operand token
+                boundary = False
                 if g == 1:             # number
                     s = m.group(1)
                     try:
@@ -429,17 +491,21 @@ class ContentInterpreter:
                 op_memo[raw] = op
             if op is False:            # irrelevant operator
                 operands_clear()
+                boundary = True
                 continue
             if op is None:             # keyword / inline image
                 dec = raw.decode("latin-1")
                 if dec == "true":
                     operands_append((TK_BOOL, True))
+                    boundary = False
                     continue
                 if dec == "false":
                     operands_append((TK_BOOL, False))
+                    boundary = False
                     continue
                 if dec == "null":
                     operands_append((TK_NULL, None))
+                    boundary = False
                     continue
                 if dec == "ID":        # inline image data until 'EI'
                     k = buf.find(b"EI", i)
@@ -453,6 +519,7 @@ class ContentInterpreter:
                     if k == -1:
                         raise lex_err("UnterminatedInlineImage", m.start(9))
                     i = k + 2
+                    boundary = True
                     continue
                 # keyword (true/false/null) followed by regular bytes
                 raise lex_err("UndefinedKeyword", m.start(9))
@@ -462,6 +529,7 @@ class ContentInterpreter:
             # <=20 for every other op), so those two branches come
             # first with their float conversions / translation math
             # inlined (no opnum()/translate_mul()/emit() call).
+            boundary = True
             try:
                 if op == "Tj":
                     if operands:

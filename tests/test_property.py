@@ -171,7 +171,14 @@ def test_content_lexer_fast_equals_general(data):
      b"10 20 Td", b"(hi) Tj", b"[ (a) -300 (b) ] TJ", b"<414243> Tj",
      b"0.5 w", b"1 0 0 RG", b"T*", b"14 TL", b"(x\\(y) Tj",
      b"% note\n", b"true false null 3 sc", b"5 TD", b"2 4 6 8 1 3 Tm",
-     b"(a) '", b"1 2 (b) \""]),
+     b"(a) '", b"1 2 (b) \"",
+     # peephole-adversarial shapes: extra operands before Td, missing
+     # whitespace (falls to master), malformed numbers, operator runs
+     # that merely start with Td/Tj, comments inside the sequence,
+     # signs/leading-dot numbers, escaped strings before Tj
+     b"5 10 20 Td", b"(a)Tj", b"72 760Td", b"1.2.3 4 Td",
+     b"10 20 Tda", b".5 -.25 Td", b"(s) Tjx", b"% c\n10 20 Td",
+     b"10 % k\n20 Td", b"+3 -0. Td", b"(q\\n) Tj", b"() Tj"]),
     min_size=0, max_size=30))
 def test_fused_interpreter_matches_token_loop(parts):
     """Differential oracle: ContentInterpreter.run (fused master-regex
@@ -188,10 +195,20 @@ def test_fused_interpreter_matches_token_loop(parts):
     content = b" ".join(parts)
     if not content.strip():
         return
-    got = ContentInterpreter({}, 1).run(content)
+    from pdf_parser_spark.kernel.cos import LexerError
+
+    try:
+        got = ContentInterpreter({}, 1).run(content)
+    except LexerError as e:
+        got = ("err", e.kind, e.offset)
 
     # ---- reference: the pre-fusion token loop, verbatim semantics ----
-    toks = tokenize(content, 0, content_mode=True)
+    try:
+        toks = tokenize(content, 0, content_mode=True)
+    except LexerError as e:
+        assert got == ("err", e.kind, e.offset)
+        return
+    assert not (isinstance(got, tuple) and got and got[0] == "err"), got
     spans = []
     ctm = IDENTITY
     gstack = []
