@@ -114,6 +114,57 @@ FROM c ORDER BY doc_id
         assert (got[col].values == want[col].values).all(), col
 
 
+def test_curation_then_pack_composition_matches_duckdb(spark):
+    """End-to-end curation→packing composition, the shape a training
+    run actually consumes: exact-dedup (min-id representative) →
+    quality floor → per-source concat-and-chunk packing. The WHOLE
+    composition is cell-exact against one DuckDB query (reusing the
+    registry's tx02 quality oracle)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import dedup
+    from pdf_parser_spark.operators import textstats as tx
+    from pdf_parser_spark.operators.packing import pack_chunks
+    from pdf_parser_spark.queries import CURATION_QUALITY_MIN, ORACLE_TX02
+
+    budget = 800
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    keep = dedup.exact_dedup(d).select("doc_id")
+    q = (tx.with_quality(d).join(keep, "doc_id", "left_semi")
+         .filter(F.col("quality_score") >= CURATION_QUALITY_MIN))
+    got = (pack_chunks(q, budget, part_col="source")
+           .select("doc_id", "tok_start", "chunk_first", "chunk_last")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF}/documents.parquet'")
+    want = con.sql(f"""
+WITH qual AS ({ORACLE_TX02}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+cand AS (
+  SELECT d.doc_id, d.source, q.n_tokens
+  FROM documents d JOIN qual q USING (doc_id) JOIN keep USING (doc_id)
+  WHERE q.quality_score >= {CURATION_QUALITY_MIN}),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS tok_end
+  FROM cand)
+SELECT doc_id,
+       tok_end - n_tokens AS tok_start,
+       (tok_end - n_tokens) // {budget} AS chunk_first,
+       GREATEST((tok_end - 1) // {budget},
+                (tok_end - n_tokens) // {budget}) AS chunk_last
+FROM c ORDER BY doc_id
+""").df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in got.columns:
+        assert (got[col].values == want[col].values).all(), col
+
+
 def test_pack_chunks_plan_single_window(spark):
     """pack_chunks must plan as ONE window over one exchange on the
     shard key — no UDF, no second shuffle, no driver participation
