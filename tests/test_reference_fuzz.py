@@ -67,8 +67,37 @@ def _gen_name(rng: random.Random) -> bytes:
                           for _ in range(n)).encode()
 
 
+def _ends_with_pending_octal(body: bytes) -> bool:
+    """True iff a lexer scanning ``body`` (a literal-string interior)
+    ends inside-or-immediately-after an octal escape — the spot where
+    the reference's never-flush-on-loop-exit quirk (§2.7.11) shows.
+    The reference only flushes the accumulator when a FOLLOWING char
+    arrives, so even a complete 3-digit octal is dropped at string end
+    (``(\\101)`` → empty, pinned in
+    test_string_trailing_octal_deviation). Cross-part merges make this
+    non-local: ``\\7`` followed by a content chunk ``"5"`` IS a
+    trailing ``\\75`` (found by a widened fuzz run at seed 2073), so
+    the check must scan the assembled body, not inspect parts."""
+    i, n = 0, len(body)
+    pending = False
+    while i < n:
+        if body[i] == 0x5C and i + 1 < n:          # backslash escape
+            if body[i + 1] in b"01234567":
+                j = i + 1
+                while j < n and j - i <= 3 and body[j] in b"01234567":
+                    j += 1
+                pending = (j == n)
+                i = j
+                continue
+            i += 2                                  # \X consumes one
+        else:
+            i += 1
+        pending = False
+    return pending
+
+
 def _gen_litstr(rng: random.Random, depth: int = 0) -> bytes:
-    parts = [b"("]
+    parts = []
     for _ in range(rng.randint(0, 8)):
         r = rng.random()
         if r < 0.55:
@@ -81,10 +110,10 @@ def _gen_litstr(rng: random.Random, depth: int = 0) -> bytes:
             parts.append(_gen_litstr(rng, depth + 1))  # balanced nesting
         else:
             parts.append(b"\\\n")                      # line continuation
-    if parts[-1] in _OCTAL_ESCAPES:                    # §2.7.11 envelope
-        parts.append(b"q")
-    parts.append(b")")
-    return b"".join(parts)
+    body = b"".join(parts)
+    if depth == 0 and _ends_with_pending_octal(body):  # §2.7.11 envelope
+        body += b"q"
+    return b"(" + body + b")"
 
 
 def _gen_hexstr(rng: random.Random) -> bytes:
