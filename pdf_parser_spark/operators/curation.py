@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingles
+from .textstats import norm_tokens
 
 CONTAMINATION_NGRAM = 5
 
@@ -84,3 +85,49 @@ def deterministic_sample(docs: DataFrame,
     frac = (frac.otherwise(F.lit(float(default_fraction)))
             if frac is not None else F.lit(float(default_fraction)))
     return docs.filter(_hash_uniform(F.col(id_col)) < frac)
+
+
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram log10-probability table ``(tok, logp)`` from a corpus:
+    p(tok) = count(tok) / total. The single-partition window computing
+    ``total`` runs over the VOCABULARY (small — language vocabularies
+    are millions of rows next to a 10^12-token corpus), not the corpus,
+    so it is not a scale bottleneck."""
+    from pyspark.sql import Window
+
+    counts = (docs
+              .select(F.explode(norm_tokens(F.col(text_col)))
+                      .alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counts.select(
+        "tok", (F.log10(F.col("cnt")) - F.log10(total)).alias("logp"))
+
+
+def unigram_logprob(docs: DataFrame, model: DataFrame,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style model-based quality score (Wenzek et al. 2020 use a
+    KenLM 5-gram; the unigram variant keeps the identical pipeline
+    shape and is exactly SQL-replicable): per document, the mean
+    unigram log10-probability of its tokens under ``model`` (from
+    :func:`unigram_model`, typically built on a trusted corpus), plus
+    ``n_scored`` / ``n_oov`` token counts. Lower mean-logp ≈ higher
+    perplexity ≈ unusual/low-quality text; out-of-vocabulary tokens
+    are counted, not scored (AVG over the in-vocab tokens — identical
+    to SQL AVG-ignores-NULL semantics, so the oracle replicates
+    cell-for-cell without an arbitrary OOV floor constant).
+
+    Scale shape: the model is BROADCAST (vocab is MBs next to the
+    corpus); the corpus explodes tokens and aggregates straight back
+    on the already-hashed id — no corpus shuffle before the per-doc
+    aggregate, the same plan as :func:`ngram_contamination`.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(norm_tokens(F.col(text_col))).alias("tok"))
+    j = toks.join(F.broadcast(model), "tok", "left")
+    return (j.groupBy(id_col)
+            .agg(F.count("logp").alias("n_scored"),
+                 F.sum(F.isnull("logp").cast("long")).alias("n_oov"),
+                 F.avg("logp").alias("mean_logp")))

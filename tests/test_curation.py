@@ -131,3 +131,85 @@ def test_deterministic_sample_monotone_in_fraction(spark):
                   .select("doc_id").collect()}
     assert ids[0.2] <= ids[0.5] <= ids[0.9]
     assert len(ids[0.2]) < len(ids[0.9])
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    from pdf_parser_spark.operators.curation import (
+        unigram_logprob, unigram_model,
+    )
+
+    model_docs = spark.createDataFrame(
+        [(0, "a a a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a zz"), (3, "zz qq")],
+        "doc_id long, text string")
+    m = unigram_model(model_docs)  # p(a)=3/4, p(b)=1/4
+    got = {r["doc_id"]: (r["n_scored"], r["n_oov"], r["mean_logp"])
+           for r in unigram_logprob(docs, m).collect()}
+    la, lb = math.log10(3 / 4), math.log10(1 / 4)
+    assert got[1][0:2] == (2, 0)
+    assert abs(got[1][2] - (la + lb) / 2) < 1e-12
+    assert got[2][0:2] == (1, 1) and abs(got[2][2] - la) < 1e-12
+    assert got[3] == (0, 2, None)  # all OOV: AVG over nothing
+
+
+def test_unigram_logprob_matches_duckdb_oracle(spark):
+    import duckdb
+    import numpy as np
+
+    from pdf_parser_spark.operators.curation import (
+        unigram_logprob, unigram_model,
+    )
+    from pdf_parser_spark.queries import _TOKS_SQL
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    model = unigram_model(docs.filter("doc_id % 2 = 0"))
+    got = (unigram_logprob(docs, model)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{sf}/documents.parquet'")
+    want = con.sql(f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks
+  WHERE doc_id % 2 = 0 GROUP BY tok),
+m AS (SELECT tok, log10(cnt) - log10(SUM(cnt) OVER ()) AS logp
+      FROM counts)
+SELECT doc_id,
+       COUNT(logp) AS n_scored,
+       SUM(CASE WHEN logp IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       AVG(logp) AS mean_logp
+FROM toks LEFT JOIN m USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+""").df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert (got["n_scored"].values == want["n_scored"].values).all()
+    assert (got["n_oov"].values == want["n_oov"].values).all()
+    # float aggregation order differs between engines: tolerance, not
+    # bit-equality (both columns are non-null here on sf0.001)
+    np.testing.assert_allclose(got["mean_logp"].astype(float),
+                               want["mean_logp"].astype(float),
+                               rtol=1e-9)
+
+
+def test_unigram_logprob_broadcasts_model(spark):
+    """The model side must BROADCAST; the corpus must not shuffle
+    before its per-doc aggregate (same contract as contamination)."""
+    from pdf_parser_spark.operators.curation import (
+        unigram_logprob, unigram_model,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    model = unigram_model(docs.filter("doc_id % 2 = 0"))
+    plan = (unigram_logprob(docs, model)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
