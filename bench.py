@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line (guaranteed to
+fit the driver's 2000-char stdout tail capture):
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
    "extract": {"turns": N, "mb": M, "turns_per_sec": ..., ...}}
+Raw per-query samples, busy-loop host-ceiling probes, and the
+dedup-lever measurement are written to BENCH_DETAIL.json alongside.
 
 Query results are forced with a noop-format write (full plan executes,
 nothing is collected to the driver). The extraction benchmark runs the
@@ -246,20 +249,37 @@ def main() -> None:
     ceiling_after = busyloop_ceiling()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    headline = {
         "metric": "headline_queries_plus_pdf_extract_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extract": extract,
+    }
+    # raw samples, host-speed probes, and the dedup-lever measurement
+    # go to a SIDE FILE: the driver captures only the last 2000 chars
+    # of stdout, and round 4's inflated single line overflowed that
+    # window (BENCH_r04.json recorded "parsed": null). The final stdout
+    # line must stay compact; everything else lives in
+    # BENCH_DETAIL.json next to this script.
+    detail = dict(headline)
+    detail.update({
         "dedup_lever": dedup_lever,
-        # host-speed probes + raw samples: lets a reader separate
-        # host-contention windows from software regressions
         "ceiling_mops": {"before": ceiling_before,
                          "after": ceiling_after},
         "passes": passes,
-    }))
+    })
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(headline, separators=(",", ":"))
+    # hard guard: the headline line must fit the driver's tail capture
+    if len(line) > 1800:
+        headline.pop("extract", None)
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

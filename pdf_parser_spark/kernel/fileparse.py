@@ -318,6 +318,14 @@ def parse_object_stream(data: bytes, n: int, first: int) -> dict:
     starts = sorted({first + ints[2 * i + 1] for i in range(n)})
     next_of = {off: (starts[j + 1] if j + 1 < len(starts) else len(data))
                for j, off in enumerate(starts)}
+    # Lying-offset retries re-lex an unbounded tail; a crafted stream
+    # whose members ALL fail the bounded parse would otherwise cost
+    # O(n_objects x stream_size) — the exact bound the per-member
+    # slicing exists to guarantee. Budget total retry bytes to a few
+    # multiples of the stream size: real lying-offset streams have a
+    # handful of crossing members, adversarial ones hit the cap and
+    # surface the member's ParserError like any other malformed object.
+    retry_budget = max(4 * len(data), 1 << 20)
     for i in range(n):
         obj_num = ints[2 * i]
         abs_off = first + ints[2 * i + 1]
@@ -330,6 +338,9 @@ def parse_object_stream(data: bytes, n: int, first: int) -> dict:
             # Retry once from the unbounded tail — restores the
             # pre-bounding behavior for exactly these streams while the
             # well-formed path stays O(total bytes).
+            if retry_budget < len(data) - abs_off:
+                raise
+            retry_budget -= len(data) - abs_off
             obj = Parser(data[abs_off:], abs_off).parse()
         out[obj_num] = obj
     return out

@@ -157,8 +157,19 @@ _INLINE_FILTER = {"AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
 
 def _parse_inline_value(toks, i):
     """One inline-dict value starting at token i: scalar or flat array.
-    Returns (value, next_i); value is a python scalar or list."""
+    Returns (value, next_i); value is a python scalar or list.
+
+    Never raises and never consumes the TK_INLINE_DATA token: a
+    truncated dict (``... BI /W`` at end of stream) returns with
+    ``i == len(toks)``, and a key with no value right before ID
+    (``/W ID ...``) returns WITHOUT advancing so the caller's loop
+    still sees the data token and attributes it to this BI — not the
+    next image's."""
+    if i >= len(toks):
+        return None, i
     t = toks[i]
+    if t.kind == TK_INLINE_DATA:
+        return None, i
     if t.kind == TK_ARR_START:
         arr = []
         i += 1

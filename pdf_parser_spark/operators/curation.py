@@ -43,9 +43,10 @@ def ngram_contamination(docs: DataFrame, benchmark: DataFrame,
 
     Plan: benchmark k-grams are deduped then BROADCAST (eval sets are
     MBs next to a 100 TB corpus); the corpus explodes its distinct
-    per-doc k-grams and inner-joins broadcast-side — no corpus
-    shuffle before the per-doc aggregate, which groups on the
-    already-hashed id.
+    per-doc k-grams and inner-joins broadcast-side — no corpus-WIDE
+    shuffle: the one exchange in the plan carries only the MATCHED
+    rows (contaminated k-grams, a vanishing fraction of the corpus)
+    into the per-doc aggregate.
     """
     d_sh = docs.select(
         F.col(id_col),
@@ -119,9 +120,12 @@ def unigram_logprob(docs: DataFrame, model: DataFrame,
     cell-for-cell without an arbitrary OOV floor constant).
 
     Scale shape: the model is BROADCAST (vocab is MBs next to the
-    corpus); the corpus explodes tokens and aggregates straight back
-    on the already-hashed id — no corpus shuffle before the per-doc
-    aggregate, the same plan as :func:`ngram_contamination`.
+    corpus); the corpus explodes tokens (no shuffle — exploded rows
+    stay in their input partition) and the count/sum/avg aggregate is
+    PARTIAL (map-side combine): each document collapses to at most
+    one partial row per partition before the exchange, so the one
+    shuffle in the plan carries ~one row per document, not the
+    exploded token stream.
     """
     toks = docs.select(
         F.col(id_col),

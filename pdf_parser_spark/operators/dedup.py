@@ -755,7 +755,10 @@ def common_lines(docs: DataFrame, min_docs: int = 2,
     census behind MassiveText's "repeated-line" filter (Rae et al.
     2021, table A1) and RefinedWeb's line-wise dedup (Penedo et al.
     2023 §3.3): nav chrome, cookie banners, and license footers show
-    up as identical lines across many pages.
+    up as identical lines across many pages. Blank / whitespace-only
+    lines are EXCLUDED from the census: '' occurs in >= min_docs
+    documents in any real corpus (every paragraph break), and the
+    cited filters target repeated *content*, not paragraph structure.
 
     Plan: posexplode -> groupBy(line) with map-side partial
     countDistinct. One shuffle on the line text — near-uniform keys
@@ -765,7 +768,8 @@ def common_lines(docs: DataFrame, min_docs: int = 2,
     lines = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "\n")).alias("_line"))
-    return (lines.groupBy("_line")
+    return (lines.filter(F.trim(F.col("_line")) != "")
+            .groupBy("_line")
             .agg(F.countDistinct(id_col).alias("n_docs"))
             .filter(F.col("n_docs") >= min_docs)
             .select(F.col("_line").alias("line"), "n_docs"))
@@ -779,7 +783,9 @@ def line_dedup(docs: DataFrame, min_docs: int = 2,
     ``(id_col, text_clean, n_lines, n_removed)``. Documents whose
     lines are ALL boilerplate survive with ``text_clean = ''`` (the
     caller decides whether to drop empties — the row count must stay
-    stable for lineage accounting).
+    stable for lineage accounting). Blank / whitespace-only lines are
+    never counted as boilerplate and never removed (see
+    :func:`common_lines`) — paragraph structure survives.
 
     Plan: the exploded lines are shuffled twice — once aggregated
     into the census, once against it for the left_anti join (the two
@@ -796,7 +802,8 @@ def line_dedup(docs: DataFrame, min_docs: int = 2,
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("_pos", "_line"))
-    census = (lines.groupBy("_line")
+    census = (lines.filter(F.trim(F.col("_line")) != "")
+              .groupBy("_line")
               .agg(F.countDistinct(id_col).alias("_nd"))
               .filter(F.col("_nd") >= min_docs)
               .select("_line"))

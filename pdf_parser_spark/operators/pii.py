@@ -19,6 +19,15 @@ boundaries — no lookaround, no backreferences. Both engines use
 leftmost-first non-overlapping match semantics for these patterns,
 so counts and replacements are cell-for-cell comparable (pinned by
 tests/test_pii.py's DuckDB oracles).
+
+SCOPE (read before redacting a real corpus): PHONE_RE matches only
+NANP-style separators (`ddd[-.]ddd[d]?[-.]dddd`); international /
+E.164 forms (`+44 20 7946 0958`), bare 10-digit runs, and
+parenthesized area codes pass through UNREDACTED. IP coverage is
+IPv4 only — IPv6 is out of scope. This matches the C4/RefinedWeb
+demo corpora the operators are oracled against; a multilingual
+production corpus needs wider patterns (swap the module constants —
+the plan shape and oracle protocol are unchanged).
 """
 
 from __future__ import annotations

@@ -89,6 +89,52 @@ def test_inline_image_unsupported_shapes_skipped():
     assert img["name"] == "BI4" and img["data"] == IMG_RGB_2X2
 
 
+def test_inline_image_truncated_dict_never_aborts_page():
+    """A content stream ending mid-inline-dict (``... BI /W`` with no
+    ID) must not raise out of the BI scan — text extraction on the
+    page survives (ADVICE r4: toks[i] ran past the token list)."""
+    from pdf_parser_spark.fixtures import PdfBuilder, _scaffold, lit
+
+    for tail in (b"BI /W",          # key at end, no value, no ID
+                 b"BI /W 8",        # value at end, no ID
+                 b"BI /W 8 /H",     # second key at end
+                 b"BI"):            # bare BI at end
+        b = PdfBuilder()
+        _scaffold(b)
+        content = (b"BT /F1 12 Tf 72 720 Td " + lit("survives") +
+                   b" Tj ET\n" + tail)
+        b.add_stream(4, b"", content)
+        res = extract_text(b.build(), with_images=True)
+        assert res["parse_error"] is None, tail
+        assert res["text"] == "survives", tail
+        assert res["images"] == [], tail
+
+
+def test_inline_image_key_without_value_keeps_data_attribution():
+    """``BI /W ID`` (key with no value right before ID) must not
+    consume the data token: the malformed image is skipped on its own
+    params and the NEXT image's data is not mis-attributed to it
+    (ADVICE r4)."""
+    from pdf_parser_spark.fixtures import (
+        IMG_RGB_2X2, PdfBuilder, _scaffold, lit,
+    )
+
+    b = PdfBuilder()
+    _scaffold(b)
+    content = (b"BT /F1 12 Tf 72 720 Td " + lit("attrib") + b" Tj ET\n"
+               b"BI /W ID " + bytes(3) + b" EI\n"
+               b"BI /W 2 /H 2 /CS /RGB /BPC 8 ID " + IMG_RGB_2X2 + b" EI")
+    b.add_stream(4, b"", content)
+    res = extract_text(b.build(), with_images=True)
+    assert res["parse_error"] is None
+    assert res["text"] == "attrib"
+    assert len(res["images"]) == 1
+    img = res["images"][0]
+    # the valid image keeps ITS payload (BI numbering counts every BI)
+    assert img["data"] == IMG_RGB_2X2
+    assert (img["width"], img["height"]) == (2, 2)
+
+
 def test_image_smask_anti_join():
     """The /SMask pair is excluded; only the main DCT image survives
     (ref src/page.rs:51-74)."""

@@ -26,8 +26,12 @@ def _line_corpus(n: int = 120) -> pd.DataFrame:
             lines.append(BOILER[2])
         else:
             lines.append(f"unique body {i} alpha {i * 17 % 101}")
+            if i % 7 == 0:     # blank line = paragraph break (kept!)
+                lines.append("")
             if i % 4 == 0:     # in-doc duplicate of a boilerplate line
                 lines.append(BOILER[0])
+            if i % 11 == 0:    # whitespace-only line (also kept)
+                lines.append("  ")
             lines.append(f"unique body {i} beta {i * 29 % 103}")
         if i % 5 == 0:
             lines.append(BOILER[2])
@@ -74,7 +78,7 @@ def test_line_dedup_matches_duckdb_oracle(spark):
 WITH sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
 l AS (SELECT doc_id, i AS pos, ls[i + 1] AS line
       FROM sp, LATERAL (SELECT unnest(range(len(ls))) AS i) r),
-census AS (SELECT line FROM l
+census AS (SELECT line FROM l WHERE trim(line) <> ''
            GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
 kept AS (SELECT * FROM l ANTI JOIN census USING (line)),
 reb AS (SELECT doc_id,
@@ -93,6 +97,27 @@ FROM sp LEFT JOIN reb USING (doc_id) ORDER BY sp.doc_id
     # the corpus must exercise both removal and all-boilerplate docs
     assert (want["n_removed"] > 0).any()
     assert (want["text_clean"] == "").any()
+    # and blank lines must have survived dedup somewhere
+    assert want["text_clean"].str.contains("\n\n").any()
+
+
+def test_line_dedup_keeps_blank_lines(spark):
+    """Blank/whitespace-only lines occur in >= min_docs docs in any
+    corpus with paragraphs; they must be excluded from the census so
+    paragraph structure survives (ADVICE r4)."""
+    from pdf_parser_spark.operators.dedup import common_lines, line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "nav bar\n\npara one\n\npara two"),
+         (1, "nav bar\n\nother text\n  \nmore text"),
+         (2, "nav bar\n\nthird doc")],
+        "doc_id long, text string")
+    cl = {r["line"] for r in common_lines(docs).collect()}
+    assert cl == {"nav bar"}
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert got[0]["text_clean"] == "\npara one\n\npara two"
+    assert got[1]["text_clean"] == "\nother text\n  \nmore text"
+    assert got[0]["n_removed"] == 1
 
 
 def test_line_dedup_plan_no_cartesian(spark):
