@@ -47,7 +47,7 @@ class PdfBuilder:
         self.objects[num] = d + b"\nstream\n" + data + b"\nendstream"
         return num
 
-    def build(self, root: int = 1) -> bytes:
+    def build(self, root: int = 1, trailer_extra: bytes = b"") -> bytes:
         out = bytearray(b"%PDF-" + self.version + b"\n")
         offsets: dict[int, int] = {}
         for num in sorted(self.objects):
@@ -64,7 +64,8 @@ class PdfBuilder:
             else:
                 out += b"0000000000 65535 f \n"
         out += (b"trailer\n<</Size " + str(max_num + 1).encode()
-                + b" /Root " + str(root).encode() + b" 0 R>>\n"
+                + b" /Root " + str(root).encode() + b" 0 R"
+                + trailer_extra + b">>\n"
                 + b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n")
         return bytes(out)
 
@@ -628,6 +629,25 @@ def pdf_broken_bad_length():
     return b.build(), {"error": True}
 
 
+def pdf_encrypted():
+    """Structurally valid PDF whose trailer carries /Encrypt (RC4 V1
+    shape, §7.6.3). The content stream bytes here are NOT actually
+    encrypted — the point is the probe: extraction must stop at the
+    trailer with parse_error='encrypted' and never emit the (would-be
+    ciphertext) text. Reference parity: the reference has no /Encrypt
+    handling at all and would extract mojibake."""
+    b = PdfBuilder()
+    _scaffold(b)
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               + lit("would be ciphertext") + b" Tj ET")
+    b.add_stream(4, b"", content)
+    b.add(9, b"<</Filter /Standard /V 1 /R 2 /O <"
+             + b"00" * 32 + b"> /U <" + b"00" * 32 + b"> /P -44>>")
+    return (b.build(trailer_extra=b" /Encrypt 9 0 R"
+                                  b" /ID [<00112233> <44556677>]"),
+            {"error": True, "parse_error": "encrypted"})
+
+
 # ------------------------------------------------------ fixture registry
 
 FIXTURES = {
@@ -653,6 +673,7 @@ BROKEN_FIXTURES = {
     "pdf-broken-header": pdf_broken_header,
     "pdf-broken-truncated": pdf_broken_truncated,
     "pdf-broken-bad-length": pdf_broken_bad_length,
+    "pdf-encrypted": pdf_encrypted,
 }
 
 _FIXTURE_IDS = sorted(FIXTURES)

@@ -36,8 +36,9 @@ from .cos import (
     PdfInteger, PdfName, PdfNull, PdfStreamObj, parse_object_at,
 )
 from .fileparse import (
-    XREF_FREE, XREF_IN_OBJSTM, XREF_OFFSET, PdfStructureError, XRefTable,
-    load_xref_chain, parse_object_stream, validate_header,
+    XREF_FREE, XREF_IN_OBJSTM, XREF_OFFSET, PdfEncryptedError,
+    PdfStructureError, XRefTable, load_xref_chain, parse_object_stream,
+    validate_header,
 )
 from .filters import decode_stream
 
@@ -86,6 +87,14 @@ class PdfDocument:
         self._objstm_cache: dict[int, dict] = {}
         self.n_objects_parsed = 0
         trailer = self.xref.trailer_dict
+        # /Encrypt probe BEFORE any string/stream is interpreted: an
+        # encrypted document's structure parses fine but its strings
+        # and content streams are RC4/AES ciphertext — extracting them
+        # would silently emit mojibake (kernel/fileparse.py
+        # PdfEncryptedError docstring; reference is equally blind).
+        enc = trailer.get("Encrypt")
+        if enc is not None and not isinstance(enc, PdfNull):
+            raise PdfEncryptedError("trailer has /Encrypt")
         root_ref = trailer.get("Root")
         if not isinstance(root_ref, PdfIndirectRef):
             raise PdfStructureError("trailer /Root missing or not a ref")

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from .cos import LexerError, ParserError, PdfDict
 from .doc import PdfDocument
-from .fileparse import PdfStructureError
+from .fileparse import PdfEncryptedError, PdfStructureError
 from .images import ImageError, extract_inline_images, extract_page_images
 from .textops import ContentInterpreter, build_font, spans_to_text
 
@@ -81,6 +81,10 @@ def extract_text(pdf_bytes: bytes, with_images: bool = False,
                            for s in all_spans]
         result["text"] = spans_to_text(all_spans)
         result["n_objects"] = doc.n_objects_parsed
+    except PdfEncryptedError:
+        # structured token, not a formatted message: downstream
+        # filters/lineage can count encrypted docs as their own class
+        result["parse_error"] = "encrypted"
     except (PdfStructureError, ParserError, LexerError, ImageError,
             AssertionError, ValueError, KeyError, IndexError,
             TypeError, AttributeError, RecursionError) as e:

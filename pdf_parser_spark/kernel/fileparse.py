@@ -39,6 +39,16 @@ class PdfStructureError(ValueError):
     pass
 
 
+class PdfEncryptedError(PdfStructureError):
+    """[EXTENSION] the trailer carries /Encrypt: strings and streams
+    are RC4/AES-encrypted (PDF 32000-1 §7.6). Neither this engine nor
+    the reference (no Encrypt handling anywhere in
+    /root/reference/src/) implements decryption — without this probe
+    an encrypted document parses its STRUCTURE fine and then silently
+    extracts mojibake text, poisoning a corpus with no lineage signal.
+    extract_text maps this to parse_error='encrypted'."""
+
+
 _HEADER_RE = re.compile(r"%PDF-\d+\.\d+")
 PDF_HEADER_MAX_LENGTH = 15  # ref src/header.rs:31
 

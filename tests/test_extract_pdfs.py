@@ -32,6 +32,41 @@ def test_broken_fixture_records_error(fid):
     assert res["text"] == ""
 
 
+def test_encrypted_pdf_detected_before_any_text():
+    """Trailer /Encrypt -> parse_error='encrypted' (structured token,
+    not a formatted message) and NO text/spans emitted: an encrypted
+    PDF parses its structure fine but its strings/streams are
+    ciphertext — extracting them would silently poison a corpus.
+    [EXTENSION]: the reference has no Encrypt handling (no 'Encrypt'
+    anywhere in /root/reference/src/) and would emit mojibake."""
+    pdf, golden = get_fixture("pdf-encrypted")
+    res = extract_text(pdf)
+    assert res["parse_error"] == "encrypted"
+    assert res["text"] == ""
+    assert res["spans"] == []
+
+
+def test_encrypted_probe_fires_on_direct_dict_too():
+    """/Encrypt as a DIRECT trailer dict (rare but legal) triggers the
+    same structured error; /Encrypt null does NOT (null = absent per
+    §7.3.9)."""
+    from pdf_parser_spark.fixtures import PdfBuilder, _scaffold, lit
+
+    b = PdfBuilder()
+    _scaffold(b)
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td " + lit("x") + b" Tj ET")
+    direct = b.build(trailer_extra=b" /Encrypt <</Filter /Standard /V 1>>")
+    assert extract_text(direct)["parse_error"] == "encrypted"
+
+    b2 = PdfBuilder()
+    _scaffold(b2)
+    b2.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td " + lit("ok") + b" Tj ET")
+    nulled = b2.build(trailer_extra=b" /Encrypt null")
+    res = extract_text(nulled)
+    assert res["parse_error"] is None
+    assert res["text"] == "ok"
+
+
 def test_image_flate_parity():
     """2x2 DeviceRGB Flate image round-trips to known pixels
     (ref src/image.rs:132-161)."""
