@@ -1,7 +1,7 @@
 """Sequence packing (operators/packing.py): hand case, chunk-budget
-invariants, cell-exact DuckDB oracle, and the one-shuffle plan guard
-(the driver registry is capped at 50 entries, so the oracle runs from
-pytest like curation's)."""
+invariants, cell-exact DuckDB oracle, and the one-shuffle plan guard.
+Since round 5 the operator is also driver-visible as the pk01_packing
+registry entry (same oracle shape)."""
 
 from __future__ import annotations
 
