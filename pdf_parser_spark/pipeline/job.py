@@ -60,7 +60,15 @@ class ExtractionJob:
 
     def run(self, turns: DataFrame, run_id: str | None = None,
             snapshot_id: str = "static") -> dict:
-        """Extract all not-yet-completed buckets; returns metrics."""
+        """Extract all not-yet-completed buckets; returns metrics.
+
+        ``run_id`` must be unique PER ATTEMPT (leave it None for a
+        uuid). The crash-safety contract hangs on it: a killed
+        attempt's orphaned parquet rows stay invisible only because
+        no lineage row ever carries their (bucket, run_id) pair —
+        reusing an id across attempts would both resurrect orphans in
+        read_output() and fold them into this run's read-back lineage
+        counts (measured in scripts/scale_rehearsal.py's kill test)."""
         run_id = run_id or uuid.uuid4().hex[:12]
         bucketed = turns.withColumn(
             "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)))
