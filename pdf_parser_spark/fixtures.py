@@ -629,6 +629,59 @@ def pdf_broken_bad_length():
     return b.build(), {"error": True}
 
 
+def pdf_encrypted_rc4(r: int = 2):
+    """Genuinely RC4-encrypted PDF (forward encryption done here, the
+    long way) with an EMPTY user password — the recoverable class
+    kernel/crypt.py decrypts. ``r=2`` → V1 40-bit; ``r=3`` → V2 with
+    /Length 128. Returns the usual (pdf_bytes, golden) pair; golden
+    text must extract exactly (kernel parity gate for the decryptor).
+    Also plants an encrypted HEX string as object 8 so string
+    decryption (§7.6.2) is covered, not just stream bodies."""
+    import hashlib
+
+    from pdf_parser_spark.kernel.crypt import PAD, rc4
+
+    o = bytes(range(32))
+    p = -44
+    id0 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    key_len = 5 if r == 2 else 16
+    h = hashlib.md5(PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little")
+                    + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:key_len]).digest()
+    key = h[:key_len]
+    if r == 2:
+        u = rc4(key, PAD)
+    else:
+        step = hashlib.md5(PAD + id0).digest()
+        for i in range(20):
+            step = rc4(bytes(bb ^ i for bb in key), step)
+        u = step + bytes(16)  # 32 on disk; only the first 16 compared
+
+    def objkey(num: int, gen: int = 0) -> bytes:
+        return hashlib.md5(
+            key + num.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")).digest()[:min(key_len + 5, 16)]
+
+    b = PdfBuilder()
+    _scaffold(b)
+    text = "rc4 secret text"
+    content = b"BT /F1 12 Tf 72 720 Td " + lit(text) + b" Tj ET"
+    b.add_stream(4, b"", rc4(objkey(4), content))
+    b.add(8, b"<" + rc4(objkey(8), b"plain string").hex().encode() + b">")
+    if r == 2:
+        enc = b"<</Filter /Standard /V 1 /R 2"
+    else:
+        enc = b"<</Filter /Standard /V 2 /R 3 /Length 128"
+    b.add(9, enc + b" /O <" + o.hex().encode()
+             + b"> /U <" + u.hex().encode() + b"> /P -44>>")
+    pdf = b.build(trailer_extra=b" /Encrypt 9 0 R /ID [<"
+                                + id0.hex().encode() + b"> <"
+                                + id0.hex().encode() + b">]")
+    return pdf, {"text": text, "n_pages": 1, "n_spans": 1}
+
+
 def pdf_encrypted():
     """Structurally valid PDF whose trailer carries /Encrypt (RC4 V1
     shape, §7.6.3). The content stream bytes here are NOT actually

@@ -1,0 +1,160 @@
+"""[EXTENSION] Standard security handler: empty-user-password RC4
+decryption (PDF 32000-1 §7.6.3, V1/V2, R2/R3).
+
+The reference has no /Encrypt handling at all (nothing in
+/root/reference/src/ touches it) and would extract RC4 ciphertext as
+mojibake. Round 5 first added detection (parse_error='encrypted');
+this module adds the recovery path for the most common real-corpus
+case: documents encrypted with an OWNER password only, i.e. the user
+password is empty — the standard algorithms then derive the file key
+from public material in the trailer, so the text is extractable
+without any secret. Everything here is the published spec:
+
+  Algorithm 2  file-key derivation   MD5(pad+O+P+ID0) [x51 for R3]
+  Algorithm 4  user-pw check, R2     RC4(key, PAD) == U
+  Algorithm 5  user-pw check, R3     19 xor-keyed RC4 rounds over
+                                     MD5(PAD + ID0), compare U[:16]
+  Algorithm 1  per-object key        MD5(key + num<3,LE> + gen<2,LE>)
+
+Out of scope (detected, surfaced as parse_error='encrypted'): V>=4
+crypt filters / AESV2+ (needs AES, not in the promise of "empty
+password RC4"), non-Standard filters, non-empty user passwords.
+
+Scope of decryption: stream bodies and strings of fetched objects
+(§7.6.2: all strings and streams except the Encrypt dict's own
+strings and the /ID entries). XRef streams are never encrypted
+(§7.5.8.2) and predate V<=2 files anyway; ObjStm members inherit the
+CONTAINER stream's decryption (the member objects' strings are not
+re-encrypted individually, §7.5.7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .cos import (
+    PdfArray, PdfDict, PdfIndirectObj, PdfInteger, PdfName, PdfString,
+    PdfStreamObj,
+)
+
+# §7.6.3.3 Algorithm 2 step (a): the 32-byte padding string
+PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (symmetric: encrypt == decrypt)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+class UnsupportedEncryption(Exception):
+    """Shape outside the V1/V2+R2/R3+Standard+empty-password envelope;
+    the caller surfaces parse_error='encrypted'."""
+
+
+class StandardDecryptor:
+    """File-level decryptor for one document, empty user password."""
+
+    def __init__(self, enc: PdfDict, id0: bytes):
+        filt = enc.get("Filter")
+        if not (isinstance(filt, PdfName) and filt.value == "Standard"):
+            raise UnsupportedEncryption("non-Standard security handler")
+        v = enc.get("V")
+        r = enc.get("R")
+        if not (isinstance(v, PdfInteger) and v.value in (1, 2)):
+            raise UnsupportedEncryption(f"V={getattr(v, 'value', v)}")
+        if not (isinstance(r, PdfInteger) and r.value in (2, 3)):
+            raise UnsupportedEncryption(f"R={getattr(r, 'value', r)}")
+        o, u, p = enc.get("O"), enc.get("U"), enc.get("P")
+        if not (isinstance(o, PdfString) and isinstance(u, PdfString)
+                and isinstance(p, PdfInteger)):
+            raise UnsupportedEncryption("missing O/U/P")
+        length = enc.get("Length")
+        nbits = length.value if isinstance(length, PdfInteger) else 40
+        if nbits % 8 or not 40 <= nbits <= 128:
+            raise UnsupportedEncryption(f"Length={nbits}")
+        self.r = r.value
+        self.key_len = 5 if v.value == 1 else nbits // 8
+        self.key = self._file_key(o.value, p.value, id0)
+        if not self._user_password_empty(u.value, id0):
+            raise UnsupportedEncryption("user password is not empty")
+
+    # ----------------------------------------------------- algorithms
+
+    def _file_key(self, o: bytes, p: int, id0: bytes) -> bytes:
+        """Algorithm 2 with the empty user password."""
+        h = hashlib.md5()
+        h.update(PAD)                                   # padded empty pw
+        h.update(o[:32])
+        h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))  # signed P, LE
+        h.update(id0)
+        key = h.digest()
+        if self.r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:self.key_len]).digest()
+        return key[:self.key_len]
+
+    def _user_password_empty(self, u: bytes, id0: bytes) -> bool:
+        if self.r == 2:                                 # Algorithm 4
+            return rc4(self.key, PAD) == u[:32]
+        # Algorithm 5 (R3): MD5(PAD + ID0), 20 RC4 rounds with the
+        # round index XORed into every key byte; compare first 16
+        step = hashlib.md5(PAD + id0).digest()
+        for i in range(20):
+            rk = bytes(b ^ i for b in self.key)
+            step = rc4(rk, step)
+        return step[:16] == u[:16]
+
+    def object_key(self, num: int, gen: int) -> bytes:
+        """Algorithm 1: per-object RC4 key."""
+        h = hashlib.md5(self.key
+                        + (num & 0xFFFFFF).to_bytes(3, "little")
+                        + (gen & 0xFFFF).to_bytes(2, "little")).digest()
+        return h[:min(self.key_len + 5, 16)]
+
+    # -------------------------------------------------------- surface
+
+    def decrypt_bytes(self, data: bytes, num: int, gen: int) -> bytes:
+        return rc4(self.object_key(num, gen), data)
+
+    def decrypt_strings(self, obj, num: int, gen: int):
+        """Rebuild ``obj`` with every PdfString RC4-decrypted under the
+        owning object's key (§7.6.2). Container offsets preserved so
+        golden-offset tests stay meaningful; non-string leaves are
+        shared, not copied."""
+        if isinstance(obj, PdfString):
+            return PdfString(self.decrypt_bytes(obj.value, num, gen),
+                             obj.offset)
+        if isinstance(obj, PdfArray):
+            return PdfArray(tuple(self.decrypt_strings(x, num, gen)
+                                  for x in obj.items), obj.offset)
+        if isinstance(obj, PdfDict):
+            return PdfDict(tuple((k, self.decrypt_strings(v, num, gen))
+                                 for k, v in obj.entries), obj.offset)
+        if isinstance(obj, PdfStreamObj):
+            return PdfStreamObj(obj.obj_num, obj.gen_num,
+                                self.decrypt_strings(obj.dict, num, gen),
+                                obj.data_offset, obj.offset)
+        if isinstance(obj, PdfIndirectObj):
+            return PdfIndirectObj(obj.obj_num, obj.gen_num,
+                                  self.decrypt_strings(obj.content,
+                                                       num, gen),
+                                  obj.offset)
+        return obj

@@ -33,7 +33,8 @@ from dataclasses import dataclass, field
 
 from .cos import (
     ParserError, PdfArray, PdfDict, PdfIndirectObj, PdfIndirectRef,
-    PdfInteger, PdfName, PdfNull, PdfStreamObj, parse_object_at,
+    PdfInteger, PdfName, PdfNull, PdfStreamObj, PdfString,
+    parse_object_at,
 )
 from .fileparse import (
     XREF_FREE, XREF_IN_OBJSTM, XREF_OFFSET, PdfEncryptedError,
@@ -92,9 +93,28 @@ class PdfDocument:
         # and content streams are RC4/AES ciphertext — extracting them
         # would silently emit mojibake (kernel/fileparse.py
         # PdfEncryptedError docstring; reference is equally blind).
+        # [EXTENSION] V1/V2+R2/R3 Standard-handler documents with an
+        # EMPTY user password (owner-password-only, the common crawl
+        # case) are transparently decrypted (kernel/crypt.py); every
+        # other shape surfaces parse_error='encrypted'.
+        self._crypt = None
         enc = trailer.get("Encrypt")
         if enc is not None and not isinstance(enc, PdfNull):
-            raise PdfEncryptedError("trailer has /Encrypt")
+            from .crypt import StandardDecryptor, UnsupportedEncryption
+
+            enc_obj = self.resolve(enc)
+            if not isinstance(enc_obj, PdfDict):
+                raise PdfEncryptedError("/Encrypt is not a dictionary")
+            id0 = b""
+            idv = trailer.get("ID")
+            if (isinstance(idv, PdfArray) and len(idv)
+                    and isinstance(idv[0], PdfString)):
+                id0 = idv[0].value
+            try:
+                self._crypt = StandardDecryptor(enc_obj, id0)
+            except UnsupportedEncryption as e:
+                raise PdfEncryptedError(
+                    f"trailer has /Encrypt ({e})") from e
         root_ref = trailer.get("Root")
         if not isinstance(root_ref, PdfIndirectRef):
             raise PdfStructureError("trailer /Root missing or not a ref")
@@ -121,6 +141,13 @@ class PdfDocument:
             else:
                 raise PdfStructureError(
                     f"object {ref.obj_num} at {value} is not indirect")
+            # [EXTENSION] §7.6.2: strings are encrypted under the
+            # OWNING object's key (in-file header numbers). ObjStm
+            # members are exempt — their container stream decrypts as
+            # a whole (§7.5.7) — so only this branch rewrites.
+            if self._crypt is not None:
+                obj = self._crypt.decrypt_strings(
+                    obj, parsed.obj_num, parsed.gen_num)
         else:  # XREF_IN_OBJSTM [EXTENSION]
             stm_num, _idx = value
             objs = self._load_objstm(stm_num)
@@ -164,11 +191,19 @@ class PdfDocument:
 
     def stream_raw(self, stm: PdfStreamObj) -> bytes:
         """Exactly Length bytes at the recorded data offset
-        (ref src/object.rs:527-543)."""
+        (ref src/object.rs:527-543). [EXTENSION] RC4-decrypted under
+        the stream's own object key when the document is encrypted
+        (BEFORE /Filter decode — §7.6.2 layering); XRef streams are
+        never encrypted (§7.5.8.2)."""
         n = self._stream_length(stm)
         data = self.buf[stm.data_offset:stm.data_offset + n]
         if len(data) != n:
             raise PdfStructureError("stream body truncated")
+        if self._crypt is not None:
+            typ = stm.dict.get("Type")
+            if not (isinstance(typ, PdfName) and typ.value == "XRef"):
+                data = self._crypt.decrypt_bytes(
+                    data, stm.obj_num, stm.gen_num)
         return data
 
     def stream_data(self, stm: PdfStreamObj) -> bytes:

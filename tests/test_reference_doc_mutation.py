@@ -187,7 +187,9 @@ def py_doc_outcome(buf: bytes) -> tuple[str, str]:
             order: list[int] = []
             _walk_tolerant(doc, pages_ref, order, set())
             lines.append("pages " + ",".join(str(n) for n in order))
-    return "OK", "\n".join(lines)
+    # .strip() mirrors ref_doc_outcome's stdout handling: a zero-page
+    # walk prints "pages " with a trailing space, stripped there too
+    return "OK", "\n".join(lines).strip()
 
 
 def _walk_tolerant(doc: PdfDocument, node_ref: cos.PdfIndirectRef,
