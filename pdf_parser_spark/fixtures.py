@@ -633,10 +633,11 @@ def pdf_encrypted_rc4(r: int = 2):
     """Genuinely RC4-encrypted PDF (forward encryption done here, the
     long way) with an EMPTY user password — the recoverable class
     kernel/crypt.py decrypts. ``r=2`` → V1 40-bit; ``r=3`` → V2 with
-    /Length 128. Returns the usual (pdf_bytes, golden) pair; golden
-    text must extract exactly (kernel parity gate for the decryptor).
-    Also plants an encrypted HEX string as object 8 so string
-    decryption (§7.6.2) is covered, not just stream bodies."""
+    /Length 128; ``r=4`` → V4 crypt filters (/StdCF CFM /V2, StmF and
+    StrF both StdCF). Returns the usual (pdf_bytes, golden) pair;
+    golden text must extract exactly (kernel parity gate for the
+    decryptor). Also plants an encrypted HEX string as object 8 so
+    string decryption (§7.6.2) is covered, not just stream bodies."""
     import hashlib
 
     from pdf_parser_spark.kernel.crypt import PAD, rc4
@@ -672,8 +673,12 @@ def pdf_encrypted_rc4(r: int = 2):
     b.add(8, b"<" + rc4(objkey(8), b"plain string").hex().encode() + b">")
     if r == 2:
         enc = b"<</Filter /Standard /V 1 /R 2"
-    else:
+    elif r == 3:
         enc = b"<</Filter /Standard /V 2 /R 3 /Length 128"
+    else:
+        enc = (b"<</Filter /Standard /V 4 /R 4 /Length 128"
+               b" /CF <</StdCF <</CFM /V2 /AuthEvent /DocOpen>>>>"
+               b" /StmF /StdCF /StrF /StdCF")
     b.add(9, enc + b" /O <" + o.hex().encode()
              + b"> /U <" + u.hex().encode() + b"> /P -44>>")
     pdf = b.build(trailer_extra=b" /Encrypt 9 0 R /ID [<"

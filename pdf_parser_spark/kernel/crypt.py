@@ -16,9 +16,12 @@ without any secret. Everything here is the published spec:
                                      MD5(PAD + ID0), compare U[:16]
   Algorithm 1  per-object key        MD5(key + num<3,LE> + gen<2,LE>)
 
-Out of scope (detected, surfaced as parse_error='encrypted'): V>=4
-crypt filters / AESV2+ (needs AES, not in the promise of "empty
-password RC4"), non-Standard filters, non-empty user passwords.
+V4 crypt filters are supported for the RC4 case only: /StdCF with
+/CFM /V2 and both /StmF and /StrF naming it (or /Identity) — the
+Acrobat 5-7 era default. R4 key derivation is R3's plus the
+/EncryptMetadata false marker bytes (§7.6.3.3 step f). Out of scope
+(detected, surfaced as parse_error='encrypted'): AESV2/AESV3 (/CFM
+/AESV2+), V5/R5/R6, non-Standard handlers, non-empty user passwords.
 
 Scope of decryption: stream bodies and strings of fetched objects
 (§7.6.2: all strings and streams except the Encrypt dict's own
@@ -78,9 +81,9 @@ class StandardDecryptor:
             raise UnsupportedEncryption("non-Standard security handler")
         v = enc.get("V")
         r = enc.get("R")
-        if not (isinstance(v, PdfInteger) and v.value in (1, 2)):
+        if not (isinstance(v, PdfInteger) and v.value in (1, 2, 4)):
             raise UnsupportedEncryption(f"V={getattr(v, 'value', v)}")
-        if not (isinstance(r, PdfInteger) and r.value in (2, 3)):
+        if not (isinstance(r, PdfInteger) and r.value in (2, 3, 4)):
             raise UnsupportedEncryption(f"R={getattr(r, 'value', r)}")
         o, u, p = enc.get("O"), enc.get("U"), enc.get("P")
         if not (isinstance(o, PdfString) and isinstance(u, PdfString)
@@ -90,11 +93,47 @@ class StandardDecryptor:
         nbits = length.value if isinstance(length, PdfInteger) else 40
         if nbits % 8 or not 40 <= nbits <= 128:
             raise UnsupportedEncryption(f"Length={nbits}")
+        self.encrypt_metadata = True
+        self.streams_encrypted = True
+        self.strings_encrypted = True
+        if v.value == 4:
+            self._init_v4(enc)
         self.r = r.value
         self.key_len = 5 if v.value == 1 else nbits // 8
         self.key = self._file_key(o.value, p.value, id0)
         if not self._user_password_empty(u.value, id0):
             raise UnsupportedEncryption("user password is not empty")
+
+    def _init_v4(self, enc: PdfDict) -> None:
+        """V4 crypt filters, RC4 only (§7.6.5): /StmF and /StrF each
+        name /StdCF (decrypt that class) or /Identity — the DEFAULT
+        when absent — meaning that class is NOT encrypted. /StdCF
+        must be CFM /V2 (RC4) when referenced; AESV2 and custom
+        filter names are rejected."""
+        def class_flag(which: str) -> bool:
+            name = enc.get(which)
+            if name is None:
+                return False  # spec default: Identity
+            if not isinstance(name, PdfName):
+                raise UnsupportedEncryption(f"bad {which}")
+            if name.value == "Identity":
+                return False
+            if name.value == "StdCF":
+                return True
+            raise UnsupportedEncryption(f"{which}={name.value}")
+
+        self.streams_encrypted = class_flag("StmF")
+        self.strings_encrypted = class_flag("StrF")
+        if self.streams_encrypted or self.strings_encrypted:
+            cf = enc.get("CF")
+            stdcf = cf.get("StdCF") if isinstance(cf, PdfDict) else None
+            cfm = stdcf.get("CFM") if isinstance(stdcf, PdfDict) else None
+            if not (isinstance(cfm, PdfName) and cfm.value == "V2"):
+                raise UnsupportedEncryption(
+                    f"V4 CFM={getattr(cfm, 'value', cfm)}")
+        em = enc.get("EncryptMetadata")
+        if getattr(em, "value", True) is False:
+            self.encrypt_metadata = False
 
     # ----------------------------------------------------- algorithms
 
@@ -105,6 +144,8 @@ class StandardDecryptor:
         h.update(o[:32])
         h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))  # signed P, LE
         h.update(id0)
+        if self.r >= 4 and not self.encrypt_metadata:
+            h.update(b"\xff\xff\xff\xff")               # step (f)
         key = h.digest()
         if self.r >= 3:
             for _ in range(50):

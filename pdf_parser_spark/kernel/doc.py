@@ -145,7 +145,7 @@ class PdfDocument:
             # OWNING object's key (in-file header numbers). ObjStm
             # members are exempt — their container stream decrypts as
             # a whole (§7.5.7) — so only this branch rewrites.
-            if self._crypt is not None:
+            if self._crypt is not None and self._crypt.strings_encrypted:
                 obj = self._crypt.decrypt_strings(
                     obj, parsed.obj_num, parsed.gen_num)
         else:  # XREF_IN_OBJSTM [EXTENSION]
@@ -199,7 +199,7 @@ class PdfDocument:
         data = self.buf[stm.data_offset:stm.data_offset + n]
         if len(data) != n:
             raise PdfStructureError("stream body truncated")
-        if self._crypt is not None:
+        if self._crypt is not None and self._crypt.streams_encrypted:
             typ = stm.dict.get("Type")
             if not (isinstance(typ, PdfName) and typ.value == "XRef"):
                 data = self._crypt.decrypt_bytes(

@@ -16,7 +16,7 @@ from pdf_parser_spark.fixtures import (
 from pdf_parser_spark.kernel.extract import extract_text
 
 
-@pytest.mark.parametrize("r", [2, 3])
+@pytest.mark.parametrize("r", [2, 3, 4])
 def test_empty_password_rc4_decrypts_to_golden(r):
     pdf, golden = pdf_encrypted_rc4(r=r)
     res = extract_text(pdf)
@@ -26,7 +26,7 @@ def test_empty_password_rc4_decrypts_to_golden(r):
     assert len(res["spans"]) == golden["n_spans"]
 
 
-@pytest.mark.parametrize("r", [2, 3])
+@pytest.mark.parametrize("r", [2, 3, 4])
 def test_strings_decrypt_under_owning_object_key(r):
     from pdf_parser_spark.kernel.cos import PdfIndirectRef, PdfString
     from pdf_parser_spark.kernel.doc import PdfDocument
@@ -49,9 +49,14 @@ def test_wrong_user_password_still_structured_error():
 
 
 def test_unsupported_shapes_stay_encrypted():
-    """V4 crypt filters / AES and non-Standard handlers are out of the
-    empty-password-RC4 envelope: detected, not mangled."""
-    for enc in (b"<</Filter /Standard /V 4 /R 4 /O <00> /U <00> /P -1>>",
+    """AES, V5, custom filter names, and non-Standard handlers are out
+    of the empty-password-RC4 envelope: detected, not mangled."""
+    for enc in (b"<</Filter /Standard /V 4 /R 4"
+                b" /CF <</StdCF <</CFM /AESV2>>>> /StmF /StdCF"
+                b" /O <00> /U <00> /P -1>>",
+                b"<</Filter /Standard /V 5 /R 6 /O <00> /U <00> /P -1>>",
+                b"<</Filter /Standard /V 4 /R 4 /StmF /MyFilter"
+                b" /O <00> /U <00> /P -1>>",
                 b"<</Filter /MySecret /V 1 /R 2 /O <00> /U <00> /P -1>>",
                 b"<</Filter /Standard /V 2 /R 3 /Length 129"
                 b" /O <00> /U <00> /P -1>>"):
@@ -64,6 +69,45 @@ def test_unsupported_shapes_stay_encrypted():
         res = extract_text(pdf)
         assert res["parse_error"] == "encrypted", enc
         assert res["text"] == ""
+
+
+def test_v4_identity_classes_pass_plaintext_through():
+    """V4 with /StmF and /StrF absent defaults BOTH classes to
+    /Identity (§7.6.5): nothing is encrypted, so a plaintext document
+    whose trailer still carries the /Encrypt dict must extract as-is
+    — decrypting it would garble plaintext. Requires the empty user
+    password to validate, so U is computed for real (R4 = Algorithm
+    5 over the R3-style key with the R4 step-f marker absent)."""
+    import hashlib
+
+    from pdf_parser_spark.kernel.crypt import PAD, rc4
+
+    o = bytes(range(32))
+    p = -44
+    id0 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    key = hashlib.md5(PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little")
+                      + id0).digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:16]).digest()
+    key = key[:16]
+    step = hashlib.md5(PAD + id0).digest()
+    for i in range(20):
+        step = rc4(bytes(bb ^ i for bb in key), step)
+    u = step + bytes(16)
+
+    b = PdfBuilder()
+    _scaffold(b)
+    b.add_stream(4, b"", b"BT /F1 12 Tf 72 720 Td "
+                 + lit("identity plaintext") + b" Tj ET")
+    b.add(9, b"<</Filter /Standard /V 4 /R 4 /Length 128"
+             b" /O <" + o.hex().encode() + b"> /U <" + u.hex().encode()
+             + b"> /P -44>>")
+    pdf = b.build(trailer_extra=b" /Encrypt 9 0 R /ID [<"
+                                + id0.hex().encode() + b"> <"
+                                + id0.hex().encode() + b">]")
+    res = extract_text(pdf)
+    assert res["parse_error"] is None
+    assert res["text"] == "identity plaintext"
 
 
 def test_tampered_u_entry_rejected():
