@@ -1,5 +1,6 @@
 """[EXTENSION] Standard security handler: empty-user-password RC4
-decryption (PDF 32000-1 §7.6.3, V1/V2, R2/R3).
+decryption (PDF 32000-1 §7.6.3: V1/V2 and V4 RC4 crypt filters,
+R2/R3/R4).
 
 The reference has no /Encrypt handling at all (nothing in
 /root/reference/src/ touches it) and would extract RC4 ciphertext as
@@ -96,8 +97,11 @@ class StandardDecryptor:
         self.encrypt_metadata = True
         self.streams_encrypted = True
         self.strings_encrypted = True
+        self._v4_len_bits = 0
         if v.value == 4:
             self._init_v4(enc)
+            if self._v4_len_bits:
+                nbits = self._v4_len_bits
         self.r = r.value
         self.key_len = 5 if v.value == 1 else nbits // 8
         self.key = self._file_key(o.value, p.value, id0)
@@ -109,7 +113,8 @@ class StandardDecryptor:
         name /StdCF (decrypt that class) or /Identity — the DEFAULT
         when absent — meaning that class is NOT encrypted. /StdCF
         must be CFM /V2 (RC4) when referenced; AESV2 and custom
-        filter names are rejected."""
+        filter names are rejected. Returns the crypt-filter /Length
+        override in BITS (0 = not stated)."""
         def class_flag(which: str) -> bool:
             name = enc.get(which)
             if name is None:
@@ -131,6 +136,19 @@ class StandardDecryptor:
             if not (isinstance(cfm, PdfName) and cfm.value == "V2"):
                 raise UnsupportedEncryption(
                     f"V4 CFM={getattr(cfm, 'value', cfm)}")
+            # crypt-filter /Length overrides the (deprecated-in-V4)
+            # top-level one. Table 25 says BITS, but Acrobat has
+            # always written BYTES (16) here — accept both readings:
+            # 5..16 = bytes, 40..128 multiple-of-8 = bits.
+            cl = stdcf.get("Length")
+            if isinstance(cl, PdfInteger):
+                v = cl.value
+                if 5 <= v <= 16:
+                    self._v4_len_bits = v * 8
+                elif 40 <= v <= 128 and v % 8 == 0:
+                    self._v4_len_bits = v
+                else:
+                    raise UnsupportedEncryption(f"StdCF Length={v}")
         em = enc.get("EncryptMetadata")
         if getattr(em, "value", True) is False:
             self.encrypt_metadata = False

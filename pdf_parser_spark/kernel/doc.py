@@ -93,10 +93,12 @@ class PdfDocument:
         # and content streams are RC4/AES ciphertext — extracting them
         # would silently emit mojibake (kernel/fileparse.py
         # PdfEncryptedError docstring; reference is equally blind).
-        # [EXTENSION] V1/V2+R2/R3 Standard-handler documents with an
-        # EMPTY user password (owner-password-only, the common crawl
-        # case) are transparently decrypted (kernel/crypt.py); every
-        # other shape surfaces parse_error='encrypted'.
+        # [EXTENSION] Standard-handler documents with an EMPTY user
+        # password (owner-password-only, the common crawl case) are
+        # transparently decrypted for V1/V2 and V4 RC4 crypt filters,
+        # R2/R3/R4 (kernel/crypt.py); every other shape — AES, V5+,
+        # non-Standard, real user passwords — surfaces
+        # parse_error='encrypted'.
         self._crypt = None
         enc = trailer.get("Encrypt")
         if enc is not None and not isinstance(enc, PdfNull):

@@ -40,12 +40,15 @@ class PdfStructureError(ValueError):
 
 
 class PdfEncryptedError(PdfStructureError):
-    """[EXTENSION] the trailer carries /Encrypt: strings and streams
-    are RC4/AES-encrypted (PDF 32000-1 §7.6). Neither this engine nor
-    the reference (no Encrypt handling anywhere in
-    /root/reference/src/) implements decryption — without this probe
-    an encrypted document parses its STRUCTURE fine and then silently
-    extracts mojibake text, poisoning a corpus with no lineage signal.
+    """[EXTENSION] the trailer carries /Encrypt in a shape this engine
+    cannot recover (PDF 32000-1 §7.6). Empty-user-password RC4
+    documents (Standard handler, V1/V2/V4-RC4, R2/R3/R4) are decrypted
+    transparently by kernel/crypt.py and never raise this; everything
+    else — AES, V5+, non-Standard handlers, real user passwords —
+    does. Without the probe such a document parses its STRUCTURE fine
+    and then silently extracts ciphertext mojibake, poisoning a corpus
+    with no lineage signal (the reference has no Encrypt handling
+    anywhere in /root/reference/src/ and does exactly that).
     extract_text maps this to parse_error='encrypted'."""
 
 

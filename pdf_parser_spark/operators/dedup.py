@@ -756,9 +756,11 @@ def common_lines(docs: DataFrame, min_docs: int = 2,
     2021, table A1) and RefinedWeb's line-wise dedup (Penedo et al.
     2023 §3.3): nav chrome, cookie banners, and license footers show
     up as identical lines across many pages. Blank / whitespace-only
-    lines are EXCLUDED from the census: '' occurs in >= min_docs
-    documents in any real corpus (every paragraph break), and the
-    cited filters target repeated *content*, not paragraph structure.
+    lines (``^\\s*$`` — spaces, tabs, CR/FF; NOT exotic Unicode
+    spaces, by design identical to the RE2 oracle's ``\\s``) are
+    EXCLUDED from the census: '' occurs in >= min_docs documents in
+    any real corpus (every paragraph break), and the cited filters
+    target repeated *content*, not paragraph structure.
 
     Plan: posexplode -> groupBy(line) with map-side partial
     countDistinct. One shuffle on the line text — near-uniform keys
@@ -768,7 +770,7 @@ def common_lines(docs: DataFrame, min_docs: int = 2,
     lines = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "\n")).alias("_line"))
-    return (lines.filter(F.trim(F.col("_line")) != "")
+    return (lines.filter(~F.col("_line").rlike(r"^\s*$"))
             .groupBy("_line")
             .agg(F.countDistinct(id_col).alias("n_docs"))
             .filter(F.col("n_docs") >= min_docs)
@@ -802,7 +804,7 @@ def line_dedup(docs: DataFrame, min_docs: int = 2,
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("_pos", "_line"))
-    census = (lines.filter(F.trim(F.col("_line")) != "")
+    census = (lines.filter(~F.col("_line").rlike(r"^\s*$"))
               .groupBy("_line")
               .agg(F.countDistinct(id_col).alias("_nd"))
               .filter(F.col("_nd") >= min_docs)

@@ -251,7 +251,17 @@ def main() -> None:
                 break
     child.wait()
     assert killed, "child finished before the kill fired"
-    print(f"KILLED after {waves_before_kill} committed wave(s)",
+
+    # the kill must have landed MID-RUN: some buckets committed, some
+    # not — otherwise the resume below verifies nothing. Read the
+    # actual lineage state instead of trusting the wave counter (the
+    # race review: a fast child could finish during the 2s sleep).
+    committed = (spark.read.parquet(lin_a)
+                 .select("bucket").distinct().count())
+    assert 0 < committed < N_BUCKETS, (
+        f"kill landed outside the window: {committed}/{N_BUCKETS} "
+        f"buckets committed — rehearsal verified nothing")
+    print(f"KILLED with {committed}/{N_BUCKETS} buckets committed",
           flush=True)
 
     # resume: fresh process, same dirs — lineage anti-join skips the
@@ -259,9 +269,15 @@ def main() -> None:
     r = subprocess.run(argv, env=env, capture_output=True, text=True)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "ALL WAVES DONE" in r.stdout
+    resumed_turns = sum(
+        int(ln.split("'turns': ")[1].split(",")[0])
+        for ln in r.stdout.splitlines()
+        if ln.startswith("WAVE") and "'turns': " in ln)
+    assert resumed_turns > 0, "resume reprocessed nothing"
     results["phases"]["extract_killed_plus_resume"] = {
         "sec": round(time.perf_counter() - t0, 1),
-        "committed_waves_before_kill": waves_before_kill}
+        "buckets_committed_before_kill": committed,
+        "resumed_turns": resumed_turns}
     for ln in r.stdout.splitlines():
         if ln.startswith("RSS_CHILD "):
             results["phases"]["extract_rss"] = json.loads(ln[10:])

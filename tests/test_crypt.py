@@ -123,6 +123,19 @@ def test_tampered_u_entry_rejected():
     assert res["parse_error"] == "encrypted"
 
 
+def test_pad_constant_matches_published_value():
+    """PAD is pinned to the spec's published bytes INDEPENDENTLY of
+    kernel/crypt.py: the fixtures forward-encrypt by importing PAD, so
+    without this pin a corrupted constant would self-cancel (both
+    sides wrong) and every crypt test would stay green while real
+    encrypted documents failed validation."""
+    from pdf_parser_spark.kernel.crypt import PAD
+
+    assert PAD.hex() == ("28bf4e5e4e758a4164004e56fffa0108"
+                         "2e2e00b6d0683e802f0ca9fe6453697a")
+    assert len(PAD) == 32
+
+
 def test_rc4_known_vector():
     """RC4 test vector (public, from the original cypherpunks posting
     / RFC 6229 family): Key 'Key', plaintext 'Plaintext'."""

@@ -78,7 +78,7 @@ def test_line_dedup_matches_duckdb_oracle(spark):
 WITH sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
 l AS (SELECT doc_id, i AS pos, ls[i + 1] AS line
       FROM sp, LATERAL (SELECT unnest(range(len(ls))) AS i) r),
-census AS (SELECT line FROM l WHERE trim(line) <> ''
+census AS (SELECT line FROM l WHERE NOT regexp_matches(line, '^\s*$')
            GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
 kept AS (SELECT * FROM l ANTI JOIN census USING (line)),
 reb AS (SELECT doc_id,
@@ -110,6 +110,8 @@ def test_line_dedup_keeps_blank_lines(spark):
     docs = spark.createDataFrame(
         [(0, "nav bar\n\npara one\n\npara two"),
          (1, "nav bar\n\nother text\n  \nmore text"),
+         (4, "nav bar\n\t\ntabbed para one\n\t\ntabbed para two"),
+         (5, "nav bar\n\t\nanother tabbed doc"),
          (2, "nav bar\n\nthird doc")],
         "doc_id long, text string")
     cl = {r["line"] for r in common_lines(docs).collect()}
@@ -117,6 +119,9 @@ def test_line_dedup_keeps_blank_lines(spark):
     got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
     assert got[0]["text_clean"] == "\npara one\n\npara two"
     assert got[1]["text_clean"] == "\nother text\n  \nmore text"
+    # tab-only lines are whitespace too (\s, not just spaces) — the
+    # round-5 review caught trim() stripping only ASCII spaces
+    assert got[4]["text_clean"] == "\t\ntabbed para one\n\t\ntabbed para two"
     assert got[0]["n_removed"] == 1
 
 
