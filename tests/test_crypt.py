@@ -123,6 +123,110 @@ def test_tampered_u_entry_rejected():
     assert res["parse_error"] == "encrypted"
 
 
+def test_encrypted_objstm_and_xref_stream_exemptions():
+    """The three §7.6 layering rules at once: (1) an encrypted ObjStm
+    container decrypts as a whole and its MEMBER strings are exempt
+    from per-object re-decryption (§7.5.7); (2) the XRef stream is
+    never encrypted (§7.5.8.2); (3) regular streams decrypt before
+    their /Filter chain. Built forward: disk bytes =
+    RC4(objkey(n), Flate(data)) — encryption applied last on write."""
+    import hashlib
+    import zlib
+
+    from pdf_parser_spark.fixtures import lit
+    from pdf_parser_spark.kernel.cos import PdfIndirectRef, PdfString
+    from pdf_parser_spark.kernel.crypt import PAD, rc4
+    from pdf_parser_spark.kernel.doc import PdfDocument
+
+    o = bytes(range(32))
+    p = -44
+    id0 = bytes.fromhex("ffeeddccbbaa99887766554433221100")
+    key = hashlib.md5(PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little")
+                      + id0).digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:16]).digest()
+    key = key[:16]
+    step = hashlib.md5(PAD + id0).digest()
+    for i in range(20):
+        step = rc4(bytes(bb ^ i for bb in key), step)
+    u = step + bytes(16)
+
+    def objkey(num: int, gen: int = 0) -> bytes:
+        return hashlib.md5(key + num.to_bytes(3, "little")
+                           + gen.to_bytes(2, "little")).digest()[:16]
+
+    # members 1,2,3,5 = document skeleton; member 8 = a PLAIN string
+    # (exempt: the container stream is the encryption layer)
+    inner = {
+        1: b"<</Type /Catalog /Pages 2 0 R>>",
+        2: b"<</Type /Pages /Kids [3 0 R] /Count 1>>",
+        3: b"<</Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources <</Font <</F1 5 0 R>>>>>>",
+        5: b"<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>",
+        8: b"<" + b"member plain".hex().encode() + b">",
+    }
+    pairs, bodies = [], bytearray()
+    for num, body in inner.items():
+        pairs.append(f"{num} {len(bodies)}".encode())
+        bodies += body + b"\n"
+    header = b" ".join(pairs) + b"\n"
+    objstm_plain = header + bytes(bodies)
+    first = len(header)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               + lit("objstm crypt works") + b" Tj ET")
+    enc_content = rc4(objkey(4), content)
+    offsets[4] = len(out)
+    out += (b"4 0 obj\n<</Length " + str(len(enc_content)).encode()
+            + b">>\nstream\n" + enc_content + b"\nendstream\nendobj\n")
+    enc_stm = rc4(objkey(6), zlib.compress(objstm_plain))
+    offsets[6] = len(out)
+    out += (b"6 0 obj\n<</Type /ObjStm /N " + str(len(inner)).encode()
+            + b" /First " + str(first).encode()
+            + b" /Filter /FlateDecode /Length "
+            + str(len(enc_stm)).encode()
+            + b">>\nstream\n" + enc_stm + b"\nendstream\nendobj\n")
+    offsets[9] = len(out)
+    out += (b"9 0 obj\n<</Filter /Standard /V 2 /R 3 /Length 128 /O <"
+            + o.hex().encode() + b"> /U <" + u.hex().encode()
+            + b"> /P -44>>\nendobj\n")
+    xref_off = len(out)
+    size = 10
+    rows = [bytes([0, 0, 0, 255])]
+    for num in range(1, size):
+        if num in inner:
+            idx = list(inner).index(num)
+            rows.append(bytes([2]) + (6).to_bytes(2, "big") + bytes([idx]))
+        elif num in offsets:
+            rows.append(bytes([1]) + offsets[num].to_bytes(2, "big")
+                        + bytes([0]))
+        elif num == 7:
+            rows.append(bytes([1]) + xref_off.to_bytes(2, "big")
+                        + bytes([0]))
+        else:
+            rows.append(bytes([0, 0, 0, 0]))
+    # XRef stream: Flate only, NOT encrypted (§7.5.8.2)
+    data = zlib.compress(b"".join(rows))
+    out += (b"7 0 obj\n<</Type /XRef /Size " + str(size).encode()
+            + b" /Root 1 0 R /Encrypt 9 0 R /ID [<" + id0.hex().encode()
+            + b"> <" + id0.hex().encode()
+            + b">] /W [1 2 1] /Filter /FlateDecode /Length "
+            + str(len(data)).encode() + b">>\nstream\n" + data
+            + b"\nendstream\nendobj\n")
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+
+    pdf = bytes(out)
+    res = extract_text(pdf)
+    assert res["parse_error"] is None
+    assert res["text"] == "objstm crypt works"
+    doc = PdfDocument(pdf)
+    s = doc.get_object(PdfIndirectRef(8, 0))
+    assert isinstance(s, PdfString)
+    assert s.value == b"member plain"  # exempt — NOT doubly decrypted
+
+
 def test_pad_constant_matches_published_value():
     """PAD is pinned to the spec's published bytes INDEPENDENTLY of
     kernel/crypt.py: the fixtures forward-encrypt by importing PAD, so
