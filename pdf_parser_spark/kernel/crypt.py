@@ -103,7 +103,10 @@ class StandardDecryptor:
             if self._v4_len_bits:
                 nbits = self._v4_len_bits
         self.r = r.value
-        self.key_len = 5 if v.value == 1 else nbits // 8
+        # Algorithm 2 step (h): R2 keys are ALWAYS 5 bytes, whatever
+        # /Length claims; R3+ use Length/8 (V1 defaults Length to 40)
+        self.key_len = 5 if (v.value == 1 or r.value == 2) \
+            else nbits // 8
         self.key = self._file_key(o.value, p.value, id0)
         if not self._user_password_empty(u.value, id0):
             raise UnsupportedEncryption("user password is not empty")
