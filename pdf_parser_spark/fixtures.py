@@ -679,6 +679,57 @@ def pdf_encrypted_rc4(r: int = 2):
         enc = (b"<</Filter /Standard /V 4 /R 4 /Length 128"
                b" /CF <</StdCF <</CFM /V2 /AuthEvent /DocOpen>>>>"
                b" /StmF /StdCF /StrF /StdCF")
+    return _finish_encrypted(b, enc, o, u, id0, text)
+
+
+def pdf_encrypted_aes():
+    """Genuinely AES-128-CBC-encrypted PDF (V4 /R 4 /StdCF CFM
+    /AESV2, the post-Acrobat-7 default) with an EMPTY user password:
+    stream and string payloads are IV || CBC ciphertext with PKCS#7
+    padding, per-object keys carry the 'sAlT' marker (§7.6.2).
+    Forward-encrypted here with the module's own FIPS-197-pinned
+    primitive; deterministic per-object IVs keep the fixture bytes
+    stable."""
+    import hashlib
+
+    from pdf_parser_spark.kernel.crypt import PAD, aes128_cbc_encrypt, rc4
+
+    o = bytes(range(32))
+    p = -44
+    id0 = bytes.fromhex("102132435465768798a9bacbdcedfe0f")
+    key = hashlib.md5(PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little")
+                      + id0).digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:16]).digest()
+    key = key[:16]
+    step = hashlib.md5(PAD + id0).digest()
+    for i in range(20):
+        step = rc4(bytes(bb ^ i for bb in key), step)
+    u = step + bytes(16)
+
+    def enc_obj(num: int, data: bytes) -> bytes:
+        objkey = hashlib.md5(key + num.to_bytes(3, "little")
+                             + bytes(2) + b"sAlT").digest()[:16]
+        iv = hashlib.md5(b"fixture-iv" + num.to_bytes(3, "little")
+                         ).digest()
+        return aes128_cbc_encrypt(objkey, iv, data)
+
+    b = PdfBuilder()
+    _scaffold(b)
+    text = "aes secret text"
+    content = b"BT /F1 12 Tf 72 720 Td " + lit(text) + b" Tj ET"
+    b.add_stream(4, b"", enc_obj(4, content))
+    b.add(8, b"<" + enc_obj(8, b"plain string").hex().encode() + b">")
+    enc = (b"<</Filter /Standard /V 4 /R 4 /Length 128"
+           b" /CF <</StdCF <</CFM /AESV2 /AuthEvent /DocOpen>>>>"
+           b" /StmF /StdCF /StrF /StdCF")
+    return _finish_encrypted(b, enc, o, u, id0, text)
+
+
+def _finish_encrypted(b, enc: bytes, o: bytes, u: bytes, id0: bytes,
+                      text: str):
+    """Shared tail of the encrypted fixtures: Encrypt dict as object
+    9 + trailer entries."""
     b.add(9, enc + b" /O <" + o.hex().encode()
              + b"> /U <" + u.hex().encode() + b"> /P -44>>")
     pdf = b.build(trailer_extra=b" /Encrypt 9 0 R /ID [<"

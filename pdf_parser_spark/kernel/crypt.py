@@ -17,12 +17,16 @@ without any secret. Everything here is the published spec:
                                      MD5(PAD + ID0), compare U[:16]
   Algorithm 1  per-object key        MD5(key + num<3,LE> + gen<2,LE>)
 
-V4 crypt filters are supported for the RC4 case only: /StdCF with
-/CFM /V2 and both /StmF and /StrF naming it (or /Identity) — the
-Acrobat 5-7 era default. R4 key derivation is R3's plus the
-/EncryptMetadata false marker bytes (§7.6.3.3 step f). Out of scope
-(detected, surfaced as parse_error='encrypted'): AESV2/AESV3 (/CFM
-/AESV2+), V5/R5/R6, non-Standard handlers, non-empty user passwords.
+V4 crypt filters are supported for /StdCF with /CFM /V2 (RC4) AND
+/CFM /AESV2 (AES-128-CBC, the post-Acrobat-7 default; pure-Python
+FIPS-197 below, pinned to the published C.1 vector), with /StmF and
+/StrF naming /StdCF or /Identity (per-class plaintext pass-through).
+R4 key derivation is R3's plus the /EncryptMetadata false marker
+bytes (§7.6.3.3 step f); AESV2 object keys append the 'sAlT' marker
+(§7.6.2) and payloads are IV || CBC ciphertext with PKCS#7 padding.
+Out of scope (detected, surfaced as parse_error='encrypted'): AESV3
+/ V5 / R5 / R6 (SHA-2 handlers), non-Standard handlers, non-empty
+user passwords.
 
 Scope of decryption: stream bodies and strings of fetched objects
 (§7.6.2: all strings and streams except the Encrypt dict's own
@@ -68,6 +72,146 @@ def rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------- AES-128
+# Pure-Python FIPS-197 (for AESV2 crypt filters, §7.6.2). Tables are
+# GENERATED from the GF(2^8) definition at import (no copied constant
+# blobs); the cipher is pinned to the published FIPS-197 C.1 vector in
+# tests/test_crypt.py. Throughput is ~100 KB/s/core — a recovery path
+# for a small corpus fraction, not a hot loop.
+
+def _gf_mul(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+        b >>= 1
+    return r
+
+
+def _make_sbox() -> tuple[bytes, bytes]:
+    inv = [0] * 256
+    for x in range(1, 256):
+        for y in range(1, 256):
+            if _gf_mul(x, y) == 1:
+                inv[x] = y
+                break
+    sbox = bytearray(256)
+    for x in range(256):
+        b = inv[x]
+        s = 0x63
+        for i in range(8):
+            bit = ((b >> i) ^ (b >> ((i + 4) % 8)) ^ (b >> ((i + 5) % 8))
+                   ^ (b >> ((i + 6) % 8)) ^ (b >> ((i + 7) % 8))) & 1
+            s ^= bit << i
+        sbox[x] = s
+    invbox = bytearray(256)
+    for x in range(256):
+        invbox[sbox[x]] = x
+    return bytes(sbox), bytes(invbox)
+
+
+_SBOX, _INV_SBOX = _make_sbox()
+assert _SBOX[0] == 0x63 and _SBOX[1] == 0x7C  # FIPS-197 figure 7
+
+
+def _expand_key128(key: bytes) -> list[bytes]:
+    """11 round keys of 16 bytes each."""
+    w = [key[i:i + 4] for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = w[i - 1]
+        if i % 4 == 0:
+            t = bytes(_SBOX[b] for b in t[1:] + t[:1])
+            t = bytes([t[0] ^ rcon, t[1], t[2], t[3]])
+            rcon = _gf_mul(rcon, 2)
+        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
+    return [b"".join(w[r * 4:r * 4 + 4]) for r in range(11)]
+
+
+def _shift_rows(s: bytearray, inverse: bool) -> bytearray:
+    out = bytearray(16)
+    for c in range(4):
+        for r in range(4):
+            src = (c + (-r if inverse else r)) % 4
+            out[c * 4 + r] = s[src * 4 + r]
+    return out
+
+
+def _mix_columns(s: bytearray, inverse: bool) -> bytearray:
+    m = ((14, 11, 13, 9) if inverse else (2, 3, 1, 1))
+    out = bytearray(16)
+    for c in range(4):
+        col = s[c * 4:c * 4 + 4]
+        for r in range(4):
+            out[c * 4 + r] = (_gf_mul(col[0], m[(0 - r) % 4])
+                              ^ _gf_mul(col[1], m[(1 - r) % 4])
+                              ^ _gf_mul(col[2], m[(2 - r) % 4])
+                              ^ _gf_mul(col[3], m[(3 - r) % 4]))
+    return out
+
+
+def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
+    rk = _expand_key128(key)
+    s = bytearray(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, 10):
+        s = bytearray(_SBOX[b] for b in s)
+        s = _shift_rows(s, False)
+        s = _mix_columns(s, False)
+        s = bytearray(a ^ b for a, b in zip(s, rk[rnd]))
+    s = bytearray(_SBOX[b] for b in s)
+    s = _shift_rows(s, False)
+    return bytes(a ^ b for a, b in zip(s, rk[10]))
+
+
+def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
+    rk = _expand_key128(key)
+    s = bytearray(a ^ b for a, b in zip(block, rk[10]))
+    for rnd in range(9, 0, -1):
+        s = _shift_rows(s, True)
+        s = bytearray(_INV_SBOX[b] for b in s)
+        s = bytearray(a ^ b for a, b in zip(s, rk[rnd]))
+        s = _mix_columns(s, True)
+    s = _shift_rows(s, True)
+    s = bytearray(_INV_SBOX[b] for b in s)
+    return bytes(a ^ b for a, b in zip(s, rk[0]))
+
+
+def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PKCS#7-padded CBC; returns iv || ciphertext (the §7.6.2 AESV2
+    on-disk layout). Fixture/writer side."""
+    pad_n = 16 - len(data) % 16
+    data += bytes([pad_n]) * pad_n
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = aes128_encrypt_block(key, blk)
+        out += prev
+    return bytes(out)
+
+
+def aes128_cbc_decrypt(key: bytes, iv_ct: bytes) -> bytes:
+    """Inverse of :func:`aes128_cbc_encrypt`: strips the leading IV
+    and the PKCS#7 padding. Raises ValueError on malformed input
+    (extract_text surfaces it as a parse_error row)."""
+    if len(iv_ct) < 32 or len(iv_ct) % 16:
+        raise ValueError("AESV2 payload not block-aligned")
+    prev, ct = iv_ct[:16], iv_ct[16:]
+    out = bytearray()
+    for i in range(0, len(ct), 16):
+        blk = ct[i:i + 16]
+        out += bytes(a ^ b
+                     for a, b in zip(aes128_decrypt_block(key, blk), prev))
+        prev = blk
+    pad_n = out[-1]
+    if not 1 <= pad_n <= 16 or out[-pad_n:] != bytes([pad_n]) * pad_n:
+        raise ValueError("AESV2 bad padding")
+    return bytes(out[:-pad_n])
+
+
 class UnsupportedEncryption(Exception):
     """Shape outside the V1/V2+R2/R3+Standard+empty-password envelope;
     the caller surfaces parse_error='encrypted'."""
@@ -97,10 +241,13 @@ class StandardDecryptor:
         self.encrypt_metadata = True
         self.streams_encrypted = True
         self.strings_encrypted = True
+        self.aes = False
         self._v4_len_bits = 0
         if v.value == 4:
             self._init_v4(enc)
-            if self._v4_len_bits:
+            if self.aes:
+                nbits = 128  # AESV2 is always AES-128 (§7.6.2)
+            elif self._v4_len_bits:
                 nbits = self._v4_len_bits
         self.r = r.value
         # Algorithm 2 step (h): R2 keys are ALWAYS 5 bytes, whatever
@@ -136,9 +283,11 @@ class StandardDecryptor:
             cf = enc.get("CF")
             stdcf = cf.get("StdCF") if isinstance(cf, PdfDict) else None
             cfm = stdcf.get("CFM") if isinstance(stdcf, PdfDict) else None
-            if not (isinstance(cfm, PdfName) and cfm.value == "V2"):
+            if not (isinstance(cfm, PdfName)
+                    and cfm.value in ("V2", "AESV2")):
                 raise UnsupportedEncryption(
                     f"V4 CFM={getattr(cfm, 'value', cfm)}")
+            self.aes = cfm.value == "AESV2"
             # crypt-filter /Length overrides the (deprecated-in-V4)
             # top-level one. Table 25 says BITS, but Acrobat has
             # always written BYTES (16) here — accept both readings:
@@ -185,15 +334,19 @@ class StandardDecryptor:
         return step[:16] == u[:16]
 
     def object_key(self, num: int, gen: int) -> bytes:
-        """Algorithm 1: per-object RC4 key."""
+        """Algorithm 1: per-object key (AESV2 appends the spec's
+        'sAlT' marker bytes to the hash input)."""
         h = hashlib.md5(self.key
                         + (num & 0xFFFFFF).to_bytes(3, "little")
-                        + (gen & 0xFFFF).to_bytes(2, "little")).digest()
+                        + (gen & 0xFFFF).to_bytes(2, "little")
+                        + (b"sAlT" if self.aes else b"")).digest()
         return h[:min(self.key_len + 5, 16)]
 
     # -------------------------------------------------------- surface
 
     def decrypt_bytes(self, data: bytes, num: int, gen: int) -> bytes:
+        if self.aes:
+            return aes128_cbc_decrypt(self.object_key(num, gen), data)
         return rc4(self.object_key(num, gen), data)
 
     def decrypt_strings(self, obj, num: int, gen: int):

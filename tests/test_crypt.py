@@ -1,7 +1,8 @@
-"""[EXTENSION] Standard-security-handler RC4 decryption
-(kernel/crypt.py): empty-user-password V1/R2 and V2/R3 documents
-decrypt to golden text; everything outside that envelope still
-surfaces the structured parse_error='encrypted'. The fixtures are
+"""[EXTENSION] Standard-security-handler decryption
+(kernel/crypt.py): empty-user-password RC4 (V1/R2, V2/R3, V4 crypt
+filters CFM /V2) and AES-128-CBC (V4 CFM /AESV2) documents decrypt
+to golden text; everything outside that envelope still surfaces the
+structured parse_error='encrypted'. The fixtures are
 encrypted FORWARD in fixtures.py with the spec algorithms, so a
 decryptor that merely inverts its own bugs cannot pass — the U
 validation entry and per-object keys must all line up."""
@@ -49,9 +50,14 @@ def test_wrong_user_password_still_structured_error():
 
 
 def test_unsupported_shapes_stay_encrypted():
-    """AES, V5, custom filter names, and non-Standard handlers are out
-    of the empty-password-RC4 envelope: detected, not mangled."""
+    """AESV3/V5, custom filter names, and non-Standard handlers are
+    out of the envelope: detected, not mangled. (AESV2 is supported
+    since late round 5 — its wrong-password case is covered by the
+    <00> /U shapes failing validation, see the V4 entry here.)"""
     for enc in (b"<</Filter /Standard /V 4 /R 4"
+                b" /CF <</StdCF <</CFM /AESV3>>>> /StmF /StdCF"
+                b" /O <00> /U <00> /P -1>>",
+                b"<</Filter /Standard /V 4 /R 4"
                 b" /CF <</StdCF <</CFM /AESV2>>>> /StmF /StdCF"
                 b" /O <00> /U <00> /P -1>>",
                 b"<</Filter /Standard /V 5 /R 6 /O <00> /U <00> /P -1>>",
@@ -69,6 +75,65 @@ def test_unsupported_shapes_stay_encrypted():
         res = extract_text(pdf)
         assert res["parse_error"] == "encrypted", enc
         assert res["text"] == ""
+
+
+def test_empty_password_aesv2_decrypts_to_golden():
+    """V4 /StdCF CFM /AESV2 (AES-128-CBC, post-Acrobat-7 default):
+    the forward-encrypted fixture extracts its golden text and the
+    planted string decrypts under the owning object's sAlT key."""
+    from pdf_parser_spark.fixtures import pdf_encrypted_aes
+    from pdf_parser_spark.kernel.cos import PdfIndirectRef, PdfString
+    from pdf_parser_spark.kernel.doc import PdfDocument
+
+    pdf, golden = pdf_encrypted_aes()
+    res = extract_text(pdf)
+    assert res["parse_error"] is None
+    assert res["text"] == golden["text"]
+    doc = PdfDocument(pdf)
+    s = doc.get_object(PdfIndirectRef(8, 0))
+    assert isinstance(s, PdfString)
+    assert s.value == b"plain string"
+
+
+def test_aes128_fips197_vector():
+    """FIPS-197 Appendix C.1 — the AES primitive is pinned to the
+    published vector independently of the fixtures (which
+    forward-encrypt with the same primitive)."""
+    from pdf_parser_spark.kernel.crypt import (
+        aes128_cbc_decrypt, aes128_cbc_encrypt,
+        aes128_decrypt_block, aes128_encrypt_block,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = aes128_encrypt_block(key, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert aes128_decrypt_block(key, ct) == pt
+    iv = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(200))[:n]
+        assert aes128_cbc_decrypt(
+            key, aes128_cbc_encrypt(key, iv, data)) == data, n
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        aes128_cbc_decrypt(key, bytes(16))     # IV only, no blocks
+    with _pytest.raises(ValueError):
+        aes128_cbc_decrypt(key, bytes(33))     # not block-aligned
+
+
+def test_aes_corrupted_payload_is_parse_error_not_mojibake():
+    """Flipping ciphertext bytes must surface a parse_error row (bad
+    CBC padding), never silently emit garbled text."""
+    from pdf_parser_spark.fixtures import pdf_encrypted_aes
+
+    pdf, _ = pdf_encrypted_aes()
+    # corrupt the LAST 16 bytes of the content stream's ciphertext
+    # (the padding block): find the stream via its endstream marker
+    i = pdf.index(b"\nendstream")
+    bad = pdf[:i - 16] + bytes(16) + pdf[i:]
+    res = extract_text(bad)
+    assert res["text"] == ""
+    assert res["parse_error"] is not None
 
 
 def test_v4_identity_classes_pass_plaintext_through():
